@@ -1,0 +1,758 @@
+"""User-facing API classes.
+
+Mirrors the reference PyO3 binding surface (reference: src/lib.rs:56-70,
+src/pylib/mod.rs, src/pylib/dataset.rs, src/pylib/dotvbyte.rs):
+
+- SeismicIndex / SeismicIndexLV        string tokens + doc-id mapping + text
+- SeismicIndexRaw / SeismicIndexRawLV  integer component ids, no metadata
+- SeismicIndexDotVByte                 u8-compressed forward index
+- SeismicDataset / SeismicDatasetLV    growable dataset + exact search
+- get_seismic_string()                 numpy dtype for token arrays ("U30")
+
+The u16/u32 split is an API-level vocabulary-capacity check (TPU component
+ids are int32 either way); `*LV` classes simply lift the 65,536-token cap
+(reference: src/pylib/mod.rs:1162-1166, docs/PythonUsage.md:132).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .config import Configuration, KnnConfig, TpuLayout, default_build_config
+from .data import io as data_io
+from .data.sparse import CsrDataset, GrowableCsrDataset, PAD_COMPONENT
+from .search import knn as knn_mod
+from .search.engine import SearchParams, pad_queries, search_batch
+from .search.exact import exact_search
+from .types import IndexArrays
+
+SEISMIC_STRING = "U30"
+
+
+def get_seismic_string() -> str:
+    """NumPy dtype for token-string arrays (reference: src/pylib/mod.rs:41-44)."""
+    return SEISMIC_STRING
+
+
+_U16_CAP = 1 << 16
+_U32_CAP = 1 << 32
+
+# Default query padding (queries longer than this keep their largest values).
+DEFAULT_QUERY_PAD = 128
+
+
+def _bucket_batch(n: int) -> int:
+    """Round batch sizes to powers of two to bound jit recompilation."""
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
+
+class _IndexBase:
+    """Shared engine wrapper (reference: SeismicIndex<S>,
+    src/inverted_index_wrapper.rs:94-596)."""
+
+    _component_cap = _U32_CAP
+    _value_dtype = "f16"
+
+    def __init__(
+        self,
+        arrays: IndexArrays,
+        doc_ids: Optional[np.ndarray] = None,
+        token_to_id: Optional[dict] = None,
+        contents: Optional[list] = None,
+    ):
+        self._arrays = arrays
+        self._doc_ids = doc_ids
+        self._token_to_id = token_to_id
+        self._contents = contents
+        self._device = None
+        self._query_pad = DEFAULT_QUERY_PAD
+
+    # ------------------------------------------------------------- plumbing
+    @property
+    def arrays(self) -> IndexArrays:
+        return self._arrays
+
+    def _device_index(self):
+        if self._device is None:
+            self._device = self._arrays.to_device()
+        return self._device
+
+    def _invalidate_device(self):
+        self._device = None
+
+    # ----------------------------------------------------------- accessors
+    @property
+    def dim(self) -> int:
+        return self._arrays.dim
+
+    @property
+    def len(self) -> int:
+        return self._arrays.n_docs
+
+    def __len__(self) -> int:
+        return self._arrays.n_docs
+
+    @property
+    def nnz(self) -> int:
+        return int(np.count_nonzero(self._arrays.fwd_comps != PAD_COMPONENT))
+
+    @property
+    def knn_len(self) -> int:
+        return self._arrays.nknn
+
+    @property
+    def is_empty(self) -> bool:
+        return self.len == 0
+
+    def get(self, doc_id: int):
+        """Return (components, values) of one document
+        (reference: src/pylib/mod.rs:157-165)."""
+        comps = self._arrays.fwd_comps[doc_id]
+        mask = comps != PAD_COMPONENT
+        vals = self._arrays.fwd_vals[doc_id].astype(np.float32)
+        if self._arrays.fwd_val_min is not None:
+            vals = (
+                vals * self._arrays.fwd_val_step[doc_id]
+                + self._arrays.fwd_val_min[doc_id]
+            )
+        return comps[mask].copy(), vals[mask].copy()
+
+    def get_doc_ids_in_postings(self, list_id: int) -> List[int]:
+        """Doc ids stored in one posting list
+        (reference: inverted_index.rs:89-100)."""
+        a = self._arrays
+        if not (0 <= list_id < a.n_lists):
+            raise ValueError(f"Invalid list_id: {list_id}")
+        s = int(a.list_block_start[list_id])
+        n = int(a.list_n_blocks[list_id])
+        out: List[int] = []
+        for b in range(s, s + n):
+            st, ln = int(a.block_start[b]), int(a.block_len[b])
+            out.extend(int(d) for d in a.postings[st : st + ln])
+        return out
+
+    def print_space_usage_byte(self) -> int:
+        return self._arrays.print_space_usage_byte()
+
+    # -------------------------------------------------------------- search
+    def _search_params(
+        self,
+        k: int,
+        query_cut: int,
+        n_knn: int,
+        first_sorted: bool,
+        block_budget: Optional[int],
+        cand_budget: Optional[int],
+        block_mode: Optional[str],
+    ) -> SearchParams:
+        if block_mode is None:
+            if self._arrays.dense_summary is not None:
+                block_mode = "dense"
+            elif self._arrays.summary_comps is not None:
+                block_mode = "summary"
+            else:
+                block_mode = "sketch"
+        if block_budget is None:
+            block_budget = max(4 * k, 64)
+        if cand_budget is None:
+            cand_budget = 0
+        return SearchParams(
+            k=k,
+            query_cut=query_cut,
+            block_budget=block_budget,
+            cand_budget=cand_budget,
+            block_mode=block_mode,
+            n_knn=n_knn,
+            first_sorted=first_sorted,
+        )
+
+    def _raw_batch_search(
+        self,
+        comp_lists: Sequence[np.ndarray],
+        val_lists: Sequence[np.ndarray],
+        k: int,
+        query_cut: int,
+        heap_factor: float,
+        n_knn: int,
+        first_sorted: bool,
+        block_budget: Optional[int] = None,
+        cand_budget: Optional[int] = None,
+        block_mode: Optional[str] = None,
+    ):
+        if n_knn > 0 and self._arrays.knn is None:
+            raise ValueError(
+                "n_knn > 0 but the index has no k-NN graph; call build_knn "
+                "or load_knn first"
+            )
+        B = len(comp_lists)
+        if B == 0:
+            return np.zeros((0, k), np.float32), np.zeros((0, k), np.int64)
+        q_comps, q_vals = pad_queries(comp_lists, val_lists, self._query_pad)
+        bb = _bucket_batch(B)
+        if bb > B:
+            q_comps = np.pad(
+                q_comps, ((0, bb - B), (0, 0)), constant_values=PAD_COMPONENT
+            )
+            q_vals = np.pad(q_vals, ((0, bb - B), (0, 0)))
+        params = self._search_params(
+            k, query_cut, n_knn, first_sorted, block_budget, cand_budget, block_mode
+        )
+        layout = self._arrays.config.layout if self._arrays.config else TpuLayout()
+        scores, ids = search_batch(
+            self._device_index(),
+            q_comps,
+            q_vals,
+            params,
+            heap_factor=heap_factor,
+            sketch_dim=layout.sketch_dim,
+            sketch_seed=layout.sketch_seed,
+        )
+        return scores[:B], ids[:B]
+
+    # --------------------------------------------------------------- knn
+    def build_knn(self, nknn: int, batch_size: int = 256) -> None:
+        """Build the k-NN graph by batched self-search
+        (reference: Knn::new, inverted_index.rs:448-500)."""
+        graph = knn_mod.build_knn(
+            self._arrays, self._device_index(), nknn, batch_size=batch_size
+        )
+        self._arrays.knn = graph
+        self._invalidate_device()
+
+    def save_knn(self, path: str) -> str:
+        if self._arrays.knn is None:
+            raise ValueError("index has no k-NN graph")
+        return knn_mod.save_knn(self._arrays.knn, path)
+
+    def load_knn(self, path: str, nknn: Optional[int] = None) -> None:
+        self._arrays.knn = knn_mod.load_knn(path, nknn)
+        self._invalidate_device()
+
+    # ------------------------------------------------------------ save/load
+    def save(self, path: str) -> str:
+        p = self._arrays.save(path)
+        side = {
+            "doc_ids": self._doc_ids,
+            "token_to_id": self._token_to_id,
+            "contents": self._contents,
+        }
+        if any(v is not None for v in side.values()):
+            import json
+
+            meta_path = p + ".meta.json"
+            with open(meta_path, "w") as f:
+                json.dump(
+                    {
+                        "doc_ids": None
+                        if self._doc_ids is None
+                        else [str(x) for x in self._doc_ids],
+                        "token_to_id": self._token_to_id,
+                        "contents": self._contents,
+                    },
+                    f,
+                )
+        return p
+
+    @classmethod
+    def load(cls, path: str):
+        arrays = IndexArrays.load(path)
+        from .types import INDEX_SUFFIX
+
+        p = path if path.endswith(INDEX_SUFFIX) else path + INDEX_SUFFIX
+        doc_ids = token_to_id = contents = None
+        meta_path = p + ".meta.json"
+        if os.path.exists(meta_path):
+            import json
+
+            with open(meta_path) as f:
+                side = json.load(f)
+            if side.get("doc_ids") is not None:
+                doc_ids = np.asarray(side["doc_ids"], dtype=SEISMIC_STRING)
+            token_to_id = side.get("token_to_id")
+            contents = side.get("contents")
+        return cls(arrays, doc_ids, token_to_id, contents)
+
+
+# ---------------------------------------------------------------------------
+# Full-featured string-token index (reference: impl_seismic_index!)
+# ---------------------------------------------------------------------------
+
+
+class SeismicIndex(_IndexBase):
+    """String tokens in, string doc ids out; optional stored document text
+    for RAG (reference: src/pylib/mod.rs:46-661)."""
+
+    _component_cap = _U16_CAP
+    _value_dtype = "f16"
+
+    # ------------------------------------------------------------- build
+    @classmethod
+    def build(
+        cls,
+        input_path: str,
+        n_postings: int = 3500,
+        centroid_fraction: float = 0.1,
+        min_cluster_size: int = 2,
+        summary_energy: float = 0.4,
+        max_fraction: float = 1.5,
+        doc_cut: int = 15,
+        nknn: int = 0,
+        knn_path: Optional[str] = None,
+        batched_indexing: Optional[int] = None,  # accepted, ignored (parity)
+        input_token_to_id_map: Optional[dict] = None,
+        load_content: bool = True,
+        num_threads: int = 0,  # accepted, ignored (TPU program is parallel)
+        layout: Optional[TpuLayout] = None,
+        progress: bool = False,
+    ) -> "SeismicIndex":
+        dataset, doc_ids, token_to_id, contents = data_io.read_jsonl_dataset(
+            input_path,
+            token_to_id=input_token_to_id_map,
+            load_content=load_content,
+            max_vocab=cls._component_cap,
+        )
+        config = default_build_config(
+            n_postings=n_postings,
+            centroid_fraction=centroid_fraction,
+            min_cluster_size=min_cluster_size,
+            summary_energy=summary_energy,
+            max_fraction=max_fraction,
+            doc_cut=doc_cut,
+            nknn=nknn,
+            knn_path=knn_path,
+            layout=layout,
+        )
+        return cls._build_from_csr(
+            dataset, config, doc_ids, token_to_id,
+            contents if load_content else None, progress,
+        )
+
+    @classmethod
+    def build_from_dataset(
+        cls,
+        dataset: "SeismicDataset",
+        n_postings: int = 3500,
+        centroid_fraction: float = 0.1,
+        min_cluster_size: int = 2,
+        summary_energy: float = 0.4,
+        max_fraction: float = 1.5,
+        doc_cut: int = 15,
+        nknn: int = 0,
+        knn_path: Optional[str] = None,
+        batched_indexing: Optional[int] = None,
+        num_threads: int = 0,
+        layout: Optional[TpuLayout] = None,
+        progress: bool = False,
+    ) -> "SeismicIndex":
+        """Convert a growable SeismicDataset into an index
+        (reference: src/pylib/mod.rs:408-468, wrapper.rs:368-394)."""
+        config = default_build_config(
+            n_postings=n_postings,
+            centroid_fraction=centroid_fraction,
+            min_cluster_size=min_cluster_size,
+            summary_energy=summary_energy,
+            max_fraction=max_fraction,
+            doc_cut=doc_cut,
+            nknn=nknn,
+            knn_path=knn_path,
+            layout=layout,
+        )
+        csr = dataset._growable.freeze()
+        doc_ids = np.asarray(dataset._doc_ids, dtype=SEISMIC_STRING)
+        return cls._build_from_csr(
+            csr,
+            config,
+            doc_ids,
+            dict(dataset._token_to_id),
+            list(dataset._contents),
+            progress,
+        )
+
+    @classmethod
+    def _build_from_csr(
+        cls, dataset, config, doc_ids, token_to_id, contents, progress=False
+    ):
+        from .build.builder import build_index
+
+        arrays = build_index(
+            dataset,
+            config,
+            value_dtype=cls._value_dtype,
+            progress=progress,
+        )
+        index = cls(arrays, doc_ids, token_to_id, contents)
+        if config.knn.knn_path:
+            index.load_knn(config.knn.knn_path, config.knn.nknn or None)
+        elif config.knn.nknn > 0:
+            index.build_knn(config.knn.nknn)
+        return index
+
+    # ------------------------------------------------------------- queries
+    def _encode_query(self, query_components, query_values):
+        comps, vals = [], []
+        t2i = self._token_to_id or {}
+        for tok, v in zip(query_components, query_values):
+            tid = t2i.get(str(tok))
+            if tid is not None:
+                comps.append(tid)
+                vals.append(float(v))
+        return np.asarray(comps, dtype=np.int64), np.asarray(
+            vals, dtype=np.float32
+        )
+
+    def search(
+        self,
+        query_id: str,
+        query_components: np.ndarray,
+        query_values: np.ndarray,
+        k: int,
+        query_cut: int,
+        heap_factor: float,
+        n_knn: int = 0,
+        sorted: bool = True,
+        block_budget: Optional[int] = None,
+        cand_budget: Optional[int] = None,
+        block_mode: Optional[str] = None,
+    ) -> List[Tuple[str, float, str]]:
+        """Single query -> [(query_id, score, doc_id)]
+        (reference: src/pylib/mod.rs:490-533)."""
+        c, v = self._encode_query(query_components, query_values)
+        scores, ids = self._raw_batch_search(
+            [c], [v], k, query_cut, heap_factor, n_knn, sorted,
+            block_budget, cand_budget, block_mode,
+        )
+        return self._format_results(query_id, scores[0], ids[0])
+
+    def batch_search(
+        self,
+        queries_ids: np.ndarray,
+        query_components: Sequence[np.ndarray],
+        query_values: Sequence[np.ndarray],
+        k: int,
+        query_cut: int,
+        heap_factor: float,
+        sorted: bool = True,
+        n_knn: int = 0,
+        num_threads: int = 0,
+        block_budget: Optional[int] = None,
+        cand_budget: Optional[int] = None,
+        block_mode: Optional[str] = None,
+    ) -> List[List[Tuple[str, float, str]]]:
+        """Batched queries (reference: src/pylib/mod.rs:572-655); the rayon
+        fan-out becomes one vmapped device program."""
+        encoded = [
+            self._encode_query(c, v)
+            for c, v in zip(query_components, query_values)
+        ]
+        scores, ids = self._raw_batch_search(
+            [e[0] for e in encoded],
+            [e[1] for e in encoded],
+            k, query_cut, heap_factor, n_knn, sorted,
+            block_budget, cand_budget, block_mode,
+        )
+        return [
+            self._format_results(str(qid), s, i)
+            for qid, s, i in zip(queries_ids, scores, ids)
+        ]
+
+    def _format_results(self, query_id: str, scores, ids):
+        out = []
+        for s, d in zip(scores, ids):
+            if d < 0 or not np.isfinite(s):
+                continue
+            doc = (
+                str(self._doc_ids[d]) if self._doc_ids is not None else str(int(d))
+            )
+            out.append((query_id, float(s), doc))
+        return out
+
+    # ---------------------------------------------------------------- text
+    def get_doc_text(self, doc_id: int) -> Optional[str]:
+        """Stored document text for RAG (reference: wrapper.rs:288-293)."""
+        if self._contents is None:
+            return None
+        return self._contents[doc_id]
+
+
+class SeismicIndexLV(SeismicIndex):
+    """Large-vocabulary (> 65,535 tokens) variant."""
+
+    _component_cap = _U32_CAP
+
+
+# ---------------------------------------------------------------------------
+# Raw (metadata-free, integer components) index
+# (reference: impl_seismic_index_raw!, src/pylib/mod.rs:663-1151)
+# ---------------------------------------------------------------------------
+
+
+class SeismicIndexRaw(_IndexBase):
+    _component_cap = _U16_CAP
+    _value_dtype = "f16"
+
+    @classmethod
+    def build(
+        cls,
+        input_file: str,
+        n_postings: int = 3500,
+        centroid_fraction: float = 0.1,
+        min_cluster_size: int = 2,
+        summary_energy: float = 0.4,
+        max_fraction: float = 1.5,
+        doc_cut: int = 15,
+        nknn: int = 0,
+        knn_path: Optional[str] = None,
+        batched_indexing: Optional[int] = None,
+        num_threads: int = 0,
+        layout: Optional[TpuLayout] = None,
+        progress: bool = False,
+    ) -> "SeismicIndexRaw":
+        """Build from the seismic inner binary format
+        (reference: src/pylib/mod.rs:956-1012)."""
+        dataset = data_io.read_seismic_format(input_file)
+        if dataset.dim > cls._component_cap:
+            raise ValueError(
+                f"component ids exceed the {cls._component_cap} capacity; "
+                "use the LV variant"
+            )
+        config = default_build_config(
+            n_postings=n_postings,
+            centroid_fraction=centroid_fraction,
+            min_cluster_size=min_cluster_size,
+            summary_energy=summary_energy,
+            max_fraction=max_fraction,
+            doc_cut=doc_cut,
+            nknn=nknn,
+            knn_path=knn_path,
+            layout=layout,
+        )
+        return cls.build_from_csr(dataset, config, progress=progress)
+
+    @classmethod
+    def build_from_csr(
+        cls, dataset: CsrDataset, config: Optional[Configuration] = None,
+        progress: bool = False,
+    ):
+        from .build.builder import build_index
+
+        config = config or Configuration()
+        arrays = build_index(
+            dataset, config, value_dtype=cls._value_dtype, progress=progress
+        )
+        index = cls(arrays)
+        if config.knn.knn_path:
+            index.load_knn(config.knn.knn_path, config.knn.nknn or None)
+        elif config.knn.nknn > 0:
+            index.build_knn(config.knn.nknn)
+        return index
+
+    def search(
+        self,
+        query_components: np.ndarray,
+        query_values: np.ndarray,
+        k: int,
+        query_cut: int,
+        heap_factor: float,
+        n_knn: int = 0,
+        sorted: bool = True,
+        block_budget: Optional[int] = None,
+        cand_budget: Optional[int] = None,
+        block_mode: Optional[str] = None,
+    ) -> List[Tuple[float, int]]:
+        """-> [(score, internal_doc_id)] (reference: mod.rs:1033-1076)."""
+        c = np.asarray(query_components, dtype=np.int64)
+        v = np.asarray(query_values, dtype=np.float32)
+        scores, ids = self._raw_batch_search(
+            [c], [v], k, query_cut, heap_factor, n_knn, sorted,
+            block_budget, cand_budget, block_mode,
+        )
+        return [
+            (float(s), int(d))
+            for s, d in zip(scores[0], ids[0])
+            if d >= 0 and np.isfinite(s)
+        ]
+
+    def batch_search(
+        self,
+        query_path_or_components,
+        query_values: Optional[Sequence[np.ndarray]] = None,
+        k: int = 10,
+        query_cut: int = 10,
+        heap_factor: float = 0.7,
+        sorted: bool = True,
+        n_knn: int = 0,
+        num_threads: int = 0,
+        block_budget: Optional[int] = None,
+        cand_budget: Optional[int] = None,
+        block_mode: Optional[str] = None,
+    ) -> List[List[Tuple[float, int]]]:
+        """Accepts either a queries `.bin` path (reference: mod.rs:1098-1146)
+        or explicit component/value lists."""
+        if isinstance(query_path_or_components, str):
+            qs = data_io.read_seismic_format(query_path_or_components)
+            comp_lists = [qs.get(i)[0] for i in range(len(qs))]
+            val_lists = [qs.get(i)[1].astype(np.float32) for i in range(len(qs))]
+        else:
+            comp_lists = [np.asarray(c) for c in query_path_or_components]
+            val_lists = [np.asarray(v) for v in query_values]
+        scores, ids = self._raw_batch_search(
+            comp_lists, val_lists, k, query_cut, heap_factor, n_knn, sorted,
+            block_budget, cand_budget, block_mode,
+        )
+        return [
+            [
+                (float(s), int(d))
+                for s, d in zip(srow, irow)
+                if d >= 0 and np.isfinite(s)
+            ]
+            for srow, irow in zip(scores, ids)
+        ]
+
+
+class SeismicIndexRawLV(SeismicIndexRaw):
+    _component_cap = _U32_CAP
+
+
+class SeismicIndexDotVByte(SeismicIndex):
+    """Memory-compressed variant: u8 forward-index values with per-doc
+    (min, step) dequantization inside the scoring kernel
+    (reference: src/pylib/dotvbyte.rs:32-426, ECIR'26)."""
+
+    _component_cap = _U16_CAP
+    _value_dtype = "u8"
+
+    def build_knn(self, nknn: int, batch_size: int = 256) -> None:
+        # Parity with the reference, which cannot build graphs on compressed
+        # datasets (dotvbyte.rs:101-112).
+        raise NotImplementedError(
+            "SeismicIndexDotVByte does not support build_knn; build the "
+            "graph on an uncompressed index and load it with load_knn"
+        )
+
+
+# ---------------------------------------------------------------------------
+# Growable dataset + exact search (reference: src/pylib/dataset.rs)
+# ---------------------------------------------------------------------------
+
+
+class SeismicDataset:
+    """In-memory accumulation API + brute-force exact search, used to compute
+    ground truth (reference: wrapper.rs:599-758, FlatIndex)."""
+
+    _component_cap = _U16_CAP
+
+    def __init__(self):
+        self._growable = GrowableCsrDataset()
+        self._doc_ids: List[str] = []
+        self._token_to_id: dict = {}
+        self._contents: List[Optional[str]] = []
+        self._frozen: Optional[CsrDataset] = None
+
+    @property
+    def dim(self) -> int:
+        return self._growable.dim
+
+    @property
+    def len(self) -> int:
+        return len(self._growable)
+
+    def __len__(self) -> int:
+        return len(self._growable)
+
+    @property
+    def nnz(self) -> int:
+        return self._growable.nnz
+
+    def add_document(
+        self,
+        doc_id: str,
+        tokens: Sequence[str],
+        values: Sequence[float],
+        content: Optional[str] = None,
+    ) -> None:
+        """(reference: dataset.rs:66-85; incremental token-id assignment)"""
+        comps = []
+        for tok in tokens:
+            tok = str(tok)
+            tid = self._token_to_id.get(tok)
+            if tid is None:
+                tid = len(self._token_to_id)
+                if tid >= self._component_cap:
+                    raise ValueError(
+                        "vocabulary exceeded the component type capacity; "
+                        "use the LV variant"
+                    )
+                self._token_to_id[tok] = tid
+            comps.append(tid)
+        self._growable.push(comps, values)
+        self._doc_ids.append(str(doc_id))
+        self._contents.append(content)
+        self._frozen = None
+
+    def get_doc_text(self, doc_id: int) -> Optional[str]:
+        return self._contents[doc_id]
+
+    def _dataset(self) -> CsrDataset:
+        if self._frozen is None:
+            self._frozen = self._growable.freeze()
+        return self._frozen
+
+    def _encode_query(self, query_components, query_values):
+        comps, vals = [], []
+        for tok, v in zip(query_components, query_values):
+            tid = self._token_to_id.get(str(tok))
+            if tid is not None:
+                comps.append(tid)
+                vals.append(float(v))
+        return comps, vals
+
+    def search(
+        self,
+        query_id: str,
+        query_components: np.ndarray,
+        query_values: np.ndarray,
+        k: int,
+    ) -> List[Tuple[str, float, str]]:
+        """Exact search (reference: dataset.rs:104-127)."""
+        return self.batch_search(
+            np.asarray([query_id]), [query_components], [query_values], k
+        )[0]
+
+    def batch_search(
+        self,
+        queries_ids: np.ndarray,
+        query_components: Sequence[np.ndarray],
+        query_values: Sequence[np.ndarray],
+        k: int,
+        num_threads: int = 0,
+    ) -> List[List[Tuple[str, float, str]]]:
+        dataset = self._dataset()
+        encoded = [
+            self._encode_query(c, v)
+            for c, v in zip(query_components, query_values)
+        ]
+        q_comps, q_vals = pad_queries(
+            [e[0] for e in encoded],
+            [e[1] for e in encoded],
+            max(DEFAULT_QUERY_PAD, max((len(e[0]) for e in encoded), default=1)),
+        )
+        scores, ids = exact_search(dataset, q_comps, q_vals, k)
+        results = []
+        for qid, srow, irow in zip(queries_ids, scores, ids):
+            row = []
+            for s, d in zip(srow, irow):
+                if d < 0 or not np.isfinite(s):
+                    continue
+                row.append((str(qid), float(s), self._doc_ids[int(d)]))
+            results.append(row)
+        return results
+
+
+class SeismicDatasetLV(SeismicDataset):
+    _component_cap = _U32_CAP

@@ -1,0 +1,358 @@
+"""Index construction: prune -> block -> summarize -> assemble device tiles.
+
+The TPU-native analogue of `InvertedIndexBase::build`
+(reference: src/inverted_index.rs:603-686) and `PostingList::build`
+(reference: src/posting_list.rs:375-451). Differences by design:
+
+- blocks are capped at `layout.max_block_len`; oversized k-means clusters
+  are split into consecutive sub-blocks (each gets its own summary), so the
+  search program can treat "evaluate a block" as one fixed-width gather;
+- every block additionally gets an int8 CountSketch row so block ranking can
+  run as a dense matmul (see ops/sketch.py);
+- the result is one flat set of padded arrays (types.IndexArrays), not
+  per-list heap objects.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..config import (
+    Configuration,
+    FixedSizeBlocking,
+    RandomKmeansBlocking,
+)
+from ..data.sparse import PAD_COMPONENT, CsrDataset
+from ..ops.sketch import quantize_sketch_int8, sketch_csr_np
+from ..types import IndexArrays
+from .kmeans import kmeans_blocking
+from .pruning import prune
+from .summaries import block_summaries, dequantize_u8, quantize_u8
+
+
+def _fixed_size_blocking(n: int, block_size: int) -> np.ndarray:
+    """Fixed-size block offsets. The reference lets the final block absorb
+    the remainder (posting_list.rs:217-225); we also fix its degenerate
+    `n < block_size` case (which produced zero blocks) to one block."""
+    n_blocks = max(1, n // block_size)
+    offsets = np.arange(n_blocks, dtype=np.int64) * block_size
+    return np.concatenate([offsets, [n]])
+
+
+def _split_blocks(
+    ordered: np.ndarray, offsets: np.ndarray, max_len: int
+) -> np.ndarray:
+    """Split any block longer than max_len into consecutive chunks."""
+    out = [0]
+    for i in range(len(offsets) - 1):
+        s, e = int(offsets[i]), int(offsets[i + 1])
+        pos = s
+        while e - pos > max_len:
+            pos += max_len
+            out.append(pos)
+        if e > pos or (e == pos and e != out[-1]):
+            out.append(e)
+    return np.asarray(sorted(set(out)), dtype=np.int64)
+
+
+def build_index(
+    dataset: CsrDataset,
+    config: Optional[Configuration] = None,
+    value_dtype: str = "f32",
+    store_summaries: bool = True,
+    store_sketches: bool = True,
+    progress: bool = False,
+) -> IndexArrays:
+    """Build the full index from a CSR dataset.
+
+    `value_dtype` in {"f32", "f16", "bf16", "u8"} selects the forward-index
+    value encoding ("u8" is the DotVByte-equivalent compressed variant,
+    reference: src/pylib/dotvbyte.rs).
+    """
+    config = config or Configuration()
+    layout = config.layout
+    t0 = time.time()
+
+    table = prune(dataset, config.pruning)
+    if progress:
+        lens = table.list_lengths()
+        print(
+            f"Distributing and pruning postings: {time.time() - t0:.1f} secs"
+        )
+        print(f"Number of posting lists: {table.n_lists}")
+        print(f"Avg posting list length: {lens.mean():.2f}")
+
+    t1 = time.time()
+    n_lists = table.n_lists
+    max_block_len = layout.max_block_len
+
+    postings_parts: List[np.ndarray] = []
+    block_start: List[int] = []
+    block_len: List[int] = []
+    list_block_start = np.zeros(n_lists, dtype=np.int32)
+    list_n_blocks = np.zeros(n_lists, dtype=np.int32)
+    summaries_per_block: List[Tuple[np.ndarray, np.ndarray, float, float]] = []
+    list_of_summary_counts: List[int] = []  # blocks per list, in order
+
+    pos = 0  # running position in the flat posting array
+    for list_id in range(n_lists):
+        doc_ids, _values = table.list_slice(list_id)
+        list_block_start[list_id] = len(block_start)
+        if len(doc_ids) == 0:
+            list_n_blocks[list_id] = 0
+            continue
+        blocking = config.blocking
+        if isinstance(blocking, FixedSizeBlocking):
+            ordered = doc_ids.copy()
+            offsets = _fixed_size_blocking(len(doc_ids), blocking.block_size)
+        elif isinstance(blocking, RandomKmeansBlocking):
+            ordered, offsets = kmeans_blocking(
+                dataset,
+                doc_ids,
+                blocking.centroid_fraction,
+                blocking.min_cluster_size,
+                blocking.clustering_algorithm,
+                seed=config.seed,
+                list_id=list_id,
+            )
+        else:
+            raise TypeError(f"unknown blocking strategy: {blocking!r}")
+
+        offsets = _split_blocks(ordered, offsets, max_block_len)
+        summaries = block_summaries(
+            dataset,
+            ordered,
+            offsets,
+            config.summarization,
+            layout.rounded_summary_nnz(),
+        )
+        assert len(summaries) == len(offsets) - 1
+        summaries_per_block.extend(summaries)
+        list_of_summary_counts.append(len(summaries))
+
+        postings_parts.append(ordered.astype(np.int32))
+        for i in range(len(offsets) - 1):
+            block_start.append(pos + int(offsets[i]))
+            block_len.append(int(offsets[i + 1] - offsets[i]))
+        list_n_blocks[list_id] = len(offsets) - 1
+        pos += len(ordered)
+
+    n_blocks = len(block_start)
+    max_blocks_per_list = int(list_n_blocks.max()) if n_lists else 0
+    # Pad block-indexed arrays with `max_blocks_per_list + 1` empty rows so
+    # the search program can dynamic-slice [max_blocks, ...] windows starting
+    # at any real list without clamping; the last row doubles as the masked
+    # sentinel block.
+    pad_rows = max_blocks_per_list + 1
+    nbp = n_blocks + pad_rows
+
+    postings = (
+        np.concatenate(postings_parts)
+        if postings_parts
+        else np.zeros(0, np.int32)
+    )
+    postings = np.concatenate(
+        [postings, np.zeros(max_block_len, dtype=np.int32)]
+    )
+    block_start_arr = np.zeros(nbp, dtype=np.int32)
+    block_start_arr[:n_blocks] = block_start
+    block_len_arr = np.zeros(nbp, dtype=np.int32)
+    block_len_arr[:n_blocks] = block_len
+
+    # --- padded summary tiles (exact path) --------------------------------
+    s_pad = layout.rounded_summary_nnz()
+    summary_comps = summary_codes = None
+    summary_min = np.zeros(nbp, dtype=np.float32)
+    summary_quant = np.zeros(nbp, dtype=np.float32)
+    if store_summaries:
+        summary_comps = np.full((nbp, s_pad), PAD_COMPONENT, dtype=np.int32)
+        summary_codes = np.zeros((nbp, s_pad), dtype=np.uint8)
+    for i, (cc, codes, mn, quant) in enumerate(summaries_per_block):
+        summary_min[i] = mn
+        summary_quant[i] = quant
+        if store_summaries and len(cc):
+            summary_comps[i, : len(cc)] = cc
+            summary_codes[i, : len(cc)] = codes
+
+    # --- per-list local-vocab dense summaries (MXU fast path) -------------
+    list_vocab = dense_summary = dense_scale = None
+    if layout.summary_vocab_cap > 0:
+        list_vocab, dense_summary, dense_scale = _build_dense_summaries(
+            summaries_per_block,
+            list_block_start,
+            list_n_blocks,
+            nbp,
+            layout.summary_vocab_cap,
+        )
+
+    # --- block sketches (experimental ranking mode) -----------------------
+    block_sketch = block_sketch_scale = None
+    if store_sketches and layout.sketch_dim > 0:
+        flat_comps, flat_vals, offs = _summary_csr(summaries_per_block)
+        sk = sketch_csr_np(
+            offs, flat_comps, flat_vals, layout.sketch_dim, layout.sketch_seed
+        )
+        sk = np.concatenate(
+            [sk, np.zeros((pad_rows, layout.sketch_dim), np.float32)], axis=0
+        )
+        block_sketch, block_sketch_scale = quantize_sketch_int8(sk)
+
+    if progress:
+        print(f"Building summaries: {time.time() - t1:.1f} secs")
+
+    # --- forward index tiles ---------------------------------------------
+    max_nnz = int(dataset.row_lengths().max()) if len(dataset) else 1
+    if layout.max_doc_nnz > 0:
+        width = layout.rounded_doc_nnz()
+    else:
+        width = max(layout.lane, _round_up(max_nnz, layout.lane))
+    fwd_comps, fwd_vals_f32 = dataset.padded_tiles(width)
+    fwd_vals, fwd_val_min, fwd_val_step = _encode_values(
+        fwd_vals_f32, fwd_comps, value_dtype
+    )
+
+    # --- doc sketches -------------------------------------------------------
+    doc_sketch = doc_sketch_scale = None
+    if store_sketches and layout.sketch_dim > 0:
+        dsk = sketch_csr_np(
+            dataset.offsets,
+            dataset.components,
+            dataset.values.astype(np.float32),
+            layout.sketch_dim,
+            layout.sketch_seed,
+        )
+        doc_sketch, doc_sketch_scale = quantize_sketch_int8(dsk)
+
+    return IndexArrays(
+        fwd_comps=fwd_comps,
+        fwd_vals=fwd_vals,
+        fwd_val_min=fwd_val_min,
+        fwd_val_step=fwd_val_step,
+        postings=postings,
+        block_start=block_start_arr,
+        block_len=block_len_arr,
+        list_block_start=list_block_start,
+        list_n_blocks=list_n_blocks,
+        summary_comps=summary_comps,
+        summary_codes=summary_codes,
+        summary_min=summary_min,
+        summary_quant=summary_quant,
+        list_vocab=list_vocab,
+        dense_summary=dense_summary,
+        dense_scale=dense_scale,
+        block_sketch=block_sketch,
+        block_sketch_scale=block_sketch_scale,
+        doc_sketch=doc_sketch,
+        doc_sketch_scale=doc_sketch_scale,
+        knn=None,
+        dim=dataset.dim,
+        n_docs=len(dataset),
+        max_blocks_per_list=max_blocks_per_list,
+        max_block_len=max_block_len,
+        config=config,
+    )
+
+
+def _build_dense_summaries(
+    summaries_per_block,
+    list_block_start: np.ndarray,
+    list_n_blocks: np.ndarray,
+    nbp: int,
+    v_cap: int,
+):
+    """Per-list dense u8 summary matrices over a local top-`v_cap` vocab.
+
+    For each list, keep the components with the largest max dequantized
+    summary value across the list's blocks; every block summary becomes a
+    dense row over that local vocabulary, u8-quantized per block with
+    dequant = code * scale (zeros stay exactly zero). Block ranking then
+    runs as [max_blocks, v_cap] @ [v_cap] matmuls on the MXU.
+    """
+    n_lists = len(list_block_start)
+    list_vocab = np.full((n_lists, v_cap), PAD_COMPONENT, dtype=np.int32)
+    dense_summary = np.zeros((nbp, v_cap), dtype=np.uint8)
+    dense_scale = np.zeros(nbp, dtype=np.float32)
+    for list_id in range(n_lists):
+        s = int(list_block_start[list_id])
+        n = int(list_n_blocks[list_id])
+        if n == 0:
+            continue
+        blocks = summaries_per_block[s : s + n]
+        # local vocab: components ranked by max dequantized value
+        all_c = np.concatenate([b[0] for b in blocks])
+        all_v = np.concatenate(
+            [dequantize_u8(b[1], b[2], b[3]) for b in blocks]
+        )
+        order = np.lexsort((-all_v, all_c))
+        c_sorted, v_sorted = all_c[order], all_v[order]
+        first = np.ones(len(c_sorted), dtype=bool)
+        first[1:] = c_sorted[1:] != c_sorted[:-1]
+        uniq_c, uniq_v = c_sorted[first], v_sorted[first]
+        if len(uniq_c) > v_cap:
+            top = np.argpartition(-uniq_v, v_cap)[:v_cap]
+            kept = np.sort(uniq_c[top])
+        else:
+            kept = uniq_c  # already sorted ascending
+        list_vocab[list_id, : len(kept)] = kept
+        # dense rows per block
+        for j, (cc, codes, mn, quant) in enumerate(blocks):
+            vals = dequantize_u8(codes, mn, quant)
+            pos = np.searchsorted(kept, cc)
+            pos_c = np.minimum(pos, len(kept) - 1)
+            hit = kept[pos_c] == cc
+            row = np.zeros(v_cap, dtype=np.float32)
+            row[pos_c[hit]] = vals[hit]
+            mx = row.max()
+            if mx > 0:
+                scale = mx / 255.0
+                dense_summary[s + j] = np.clip(
+                    np.rint(row / scale), 0, 255
+                ).astype(np.uint8)
+                dense_scale[s + j] = scale
+    return list_vocab, dense_summary, dense_scale
+
+
+def _summary_csr(summaries):
+    """Flatten per-block summaries into CSR arrays of dequantized values."""
+    comps, vals, lengths = [], [], [0]
+    for cc, codes, mn, quant in summaries:
+        comps.append(cc.astype(np.int32))
+        vals.append(dequantize_u8(codes, mn, quant))
+        lengths.append(lengths[-1] + len(cc))
+    flat_comps = np.concatenate(comps) if comps else np.zeros(0, np.int32)
+    flat_vals = np.concatenate(vals) if vals else np.zeros(0, np.float32)
+    return flat_comps, flat_vals, np.asarray(lengths, dtype=np.int64)
+
+
+def _encode_values(vals_f32: np.ndarray, comps: np.ndarray, value_dtype: str):
+    """Encode forward-index values in the requested storage dtype."""
+    if value_dtype == "f32":
+        return vals_f32, None, None
+    if value_dtype == "f16":
+        return vals_f32.astype(np.float16), None, None
+    if value_dtype == "bf16":
+        import ml_dtypes
+
+        return vals_f32.astype(ml_dtypes.bfloat16), None, None
+    if value_dtype == "u8":
+        # Per-document scalar quantization over the real (non-pad) entries
+        # (DotVByte-equivalent; reference src/pylib/dotvbyte.rs).
+        n, w = vals_f32.shape
+        mask = comps != PAD_COMPONENT
+        codes = np.zeros((n, w), dtype=np.uint8)
+        mins = np.zeros(n, dtype=np.float32)
+        steps = np.zeros(n, dtype=np.float32)
+        for i in range(n):
+            row = vals_f32[i][mask[i]]
+            mn, quant, c = quantize_u8(row)
+            mins[i], steps[i] = mn, quant
+            codes[i, : len(c)] = c
+        return codes, mins, steps
+    raise ValueError(f"unknown value_dtype: {value_dtype}")
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m

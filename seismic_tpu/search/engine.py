@@ -1,0 +1,372 @@
+"""The jitted batched search program.
+
+TPU-native re-design of the reference query path
+(reference: src/inverted_index.rs:153-234, src/posting_list.rs:115-215,
+src/quantized_summary.rs:64-160). The sequential heap-and-skip loop becomes
+a fixed-shape, fully vectorized pipeline — one XLA program per (batch,
+static-params) signature, vmapped over the query batch:
+
+  1. top-`query_cut` query terms        -> lax.top_k         (k_largest_by)
+  2. selected lists' block windows      -> contiguous gathers (block_offsets)
+  3. block ranking                      -> int8 sketch matmul (fast mode) or
+                                           u8 summary dequant + dense-query
+                                           gather (exact mode; `distances`)
+  4. heap_factor pruning + block budget -> masked top_k      (block skipping)
+  5. candidate doc windows              -> batched dynamic slices (postings)
+  6. coarse candidate ranking           -> int8 doc-sketch matmul (optional)
+  7. exact scoring                      -> forward-tile gather + dense-query
+                                           gather, f32 accumulate
+  8. dedup + final top-k                -> sort-by-id mask    (visited set)
+  9. optional k-NN refinement           -> neighbor gather + one more round
+
+The adaptive `heap_factor` block skip (posting_list.rs:130) is approximated
+by masking blocks whose summary score falls below `heap_factor` times the
+k-th best block score — a static-shape analogue of "skip if it cannot beat
+the current k-th result".
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.sparse import PAD_COMPONENT
+from ..ops.sketch import sketch_padded_queries
+from ..types import DeviceIndex
+
+
+@dataclass(frozen=True)
+class SearchParams:
+    """Static (compile-time) search parameters."""
+
+    k: int = 10
+    query_cut: int = 10
+    # Blocks fully evaluated per query (the static analogue of how many
+    # blocks survive the reference's skip test). 0 = all selected blocks.
+    block_budget: int = 48
+    # Candidates exactly scored after coarse sketch ranking. 0 = all.
+    cand_budget: int = 0
+    # "sketch" ranks blocks by int8 CountSketch matmul; "summary" uses the
+    # exact u8-quantized summaries (parity mode, slower).
+    block_mode: str = "sketch"
+    n_knn: int = 0
+    # Accepted for API parity; block evaluation order is data-independent in
+    # the batched design, so this has no effect (see module docstring).
+    first_sorted: bool = False
+
+
+# ---------------------------------------------------------------------------
+# Helpers
+# ---------------------------------------------------------------------------
+
+
+def densify_query_batch(q_comps, q_vals, dim: int):
+    """[B, Q] padded queries -> [B, dim + 1] dense; slot `dim` stays 0 so
+    clipped PAD_COMPONENT lookups read 0."""
+    B = q_comps.shape[0]
+    qd = jnp.zeros((B, dim + 1), dtype=jnp.float32)
+    rows = jnp.broadcast_to(jnp.arange(B)[:, None], q_comps.shape)
+    comps = jnp.minimum(q_comps, dim)
+    vals = jnp.where(q_comps == PAD_COMPONENT, 0.0, q_vals.astype(jnp.float32))
+    return qd.at[rows, comps].add(vals, mode="drop")
+
+
+def _lookup(qd_row, comps):
+    """qd gather with PAD clipping to the zero slot."""
+    dim = qd_row.shape[-1] - 1
+    idx = jnp.minimum(comps.astype(jnp.int32), dim)
+    return jnp.take(qd_row, idx.reshape(-1), axis=0).reshape(comps.shape)
+
+
+def _decode_fwd_vals(index: DeviceIndex, tiles_vals, tiles_comps, doc_ids):
+    """Decode gathered forward-value tiles to f32 (handles the u8 variant)."""
+    mask = tiles_comps != PAD_COMPONENT
+    if index.fwd_val_min is not None:
+        mins = index.fwd_val_min[doc_ids]
+        steps = index.fwd_val_step[doc_ids]
+        vals = (
+            tiles_vals.astype(jnp.float32) * steps[..., None]
+            + mins[..., None]
+        )
+    else:
+        vals = tiles_vals.astype(jnp.float32)
+    return jnp.where(mask, vals, 0.0)
+
+
+def _dedup_by_id(scores, ids, n_docs: int):
+    """Sort candidates by id, mask duplicates (the `visited` set,
+    posting_list.rs:206-214), return (scores, ids) with dups at -inf."""
+    ids = jnp.where(jnp.isfinite(scores), ids, n_docs)
+    ids_sorted, scores_sorted = jax.lax.sort(
+        (ids.astype(jnp.int32), scores), dimension=-1, num_keys=1
+    )
+    dup = jnp.concatenate(
+        [
+            jnp.zeros_like(ids_sorted[..., :1], dtype=bool),
+            ids_sorted[..., 1:] == ids_sorted[..., :-1],
+        ],
+        axis=-1,
+    )
+    invalid = ids_sorted >= n_docs
+    scores_sorted = jnp.where(dup | invalid, -jnp.inf, scores_sorted)
+    return scores_sorted, ids_sorted
+
+
+def _exact_scores(index: DeviceIndex, qd, doc_ids):
+    """Exact dot products of `doc_ids` [B, N] against the dense queries.
+
+    This is the TPU replacement of `evaluate_posting_block`'s
+    prefetch + sparse-merge (posting_list.rs:188-215): contiguous row
+    gathers of padded doc tiles + a dense-query table lookup, f32 accumulate.
+    """
+    tiles_comps = index.fwd_comps[doc_ids]  # [B, N, W]
+    tiles_vals = _decode_fwd_vals(
+        index, index.fwd_vals[doc_ids], tiles_comps, doc_ids
+    )
+    qvals = jax.vmap(_lookup)(qd, tiles_comps)  # [B, N, W]
+    return jnp.sum(tiles_vals * qvals, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# The search program
+# ---------------------------------------------------------------------------
+
+
+def _search_impl(
+    index: DeviceIndex,
+    q_comps,  # [B, Q] int32, PAD_COMPONENT padded, sorted per row
+    q_vals,  # [B, Q] f32, 0 at padding
+    heap_factor,  # f32 scalar (traced)
+    params: SearchParams,
+    sketch_dim: int,
+    sketch_seed: int,
+):
+    B, Q = q_comps.shape
+    n_docs = index.n_docs
+    dim = index.dim
+    MB = max(index.max_blocks_per_list, 1)
+    Lmax = max(index.max_block_len, 1)
+    n_blocks_total = index.block_start.shape[0]  # includes sentinel
+    sentinel_block = n_blocks_total - 1
+    k = params.k
+    QC = min(params.query_cut, Q)
+
+    valid_q = q_comps != PAD_COMPONENT
+    q_vals = jnp.where(valid_q, q_vals, 0.0)
+    qd = densify_query_batch(q_comps, q_vals, dim)
+
+    # ---- 1. select top-query_cut terms (inverted_index.rs:187-190) ----
+    top_vals, top_pos = jax.lax.top_k(q_vals, QC)
+    list_ids = jnp.take_along_axis(q_comps, top_pos, axis=1)  # [B, QC]
+    sel_valid = jnp.take_along_axis(valid_q, top_pos, axis=1) & (
+        list_ids < jnp.int32(index.list_block_start.shape[0])
+    )
+    safe_lists = jnp.where(sel_valid, list_ids, 0).astype(jnp.int32)
+
+    # ---- 2. block windows of the selected lists ----
+    lbs = index.list_block_start[safe_lists]  # [B, QC]
+    lnb = index.list_n_blocks[safe_lists]  # [B, QC]
+    steps = jnp.arange(MB, dtype=jnp.int32)
+    block_ids = lbs[..., None] + steps  # [B, QC, MB]
+    bmask = (steps < lnb[..., None]) & sel_valid[..., None]
+    block_ids = jnp.where(bmask, block_ids, sentinel_block)
+    block_ids = block_ids.reshape(B, QC * MB)
+    bmask = bmask.reshape(B, QC * MB)
+
+    # ---- 3. block ranking ----
+    if params.block_mode == "dense":
+        # Per-list local-vocab dense summaries: gather each selected list's
+        # vocabulary (a few hundred elements), then score all of its blocks
+        # with one contiguous [MB, V] u8 tile matmul on the MXU. Exact with
+        # respect to the (vocab-capped) quantized summaries.
+        V = index.list_vocab.shape[1]
+        vocab = index.list_vocab[safe_lists]  # [B, QC, V]
+        qloc = jax.vmap(_lookup)(qd, vocab)  # [B, QC, V]
+
+        def score_list(lbs_scalar, qloc_vec):
+            tile = jax.lax.dynamic_slice(
+                index.dense_summary, (lbs_scalar, 0), (MB, V)
+            )
+            scale = jax.lax.dynamic_slice(
+                index.dense_scale, (lbs_scalar,), (MB,)
+            )
+            return (
+                jnp.dot(
+                    tile.astype(jnp.float32),
+                    qloc_vec,
+                    preferred_element_type=jnp.float32,
+                )
+                * scale
+            )
+
+        block_scores = jax.vmap(jax.vmap(score_list))(lbs, qloc)
+        block_scores = block_scores.reshape(B, QC * MB)
+    elif params.block_mode == "sketch":
+        q_sk = sketch_padded_queries(q_comps, q_vals, sketch_dim, sketch_seed)
+        codes = index.block_sketch[block_ids]  # [B, QC*MB, ds] int8
+        scale = index.block_sketch_scale[block_ids]
+        block_scores = (
+            jnp.einsum(
+                "bnd,bd->bn",
+                codes.astype(jnp.float32),
+                q_sk,
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        )
+    elif params.block_mode == "summary":
+        s_comps = index.summary_comps[block_ids]  # [B, N, S]
+        s_codes = index.summary_codes[block_ids]
+        s_mask = s_comps != PAD_COMPONENT
+        deq = (
+            s_codes.astype(jnp.float32) * index.summary_quant[block_ids][..., None]
+            + index.summary_min[block_ids][..., None]
+        )
+        deq = jnp.where(s_mask, deq, 0.0)
+        qvals = jax.vmap(_lookup)(qd, s_comps)
+        block_scores = jnp.sum(deq * qvals, axis=-1)
+    else:
+        raise ValueError(f"unknown block_mode: {params.block_mode}")
+    block_scores = jnp.where(bmask, block_scores, -jnp.inf)
+
+    # ---- 4. block budget + heap_factor mask (posting_list.rs:130) ----
+    BE = params.block_budget if params.block_budget > 0 else QC * MB
+    BE = min(BE, QC * MB)
+    top_block_scores, top_block_pos = jax.lax.top_k(block_scores, BE)
+    sel_blocks = jnp.take_along_axis(block_ids, top_block_pos, axis=1)
+    theta = top_block_scores[:, jnp.minimum(k, BE) - 1]  # proxy for kth best
+    eval_mask = jnp.isfinite(top_block_scores) & (
+        top_block_scores >= heap_factor * theta[:, None]
+    )
+    sel_blocks = jnp.where(eval_mask, sel_blocks, sentinel_block)
+
+    # ---- 5. candidate doc windows ----
+    starts = index.block_start[sel_blocks]  # [B, BE]
+    lens = index.block_len[sel_blocks]
+    cand_ids = jax.vmap(
+        jax.vmap(
+            lambda s: jax.lax.dynamic_slice(index.postings, (s,), (Lmax,))
+        )
+    )(starts)  # [B, BE, Lmax]
+    cmask = (jnp.arange(Lmax, dtype=jnp.int32) < lens[..., None]) & eval_mask[
+        ..., None
+    ]
+    NC = BE * Lmax
+    cand_ids = jnp.where(cmask, cand_ids, n_docs).reshape(B, NC)
+    cmask = cmask.reshape(B, NC)
+    safe_cand = jnp.minimum(cand_ids, n_docs - 1)
+
+    # ---- 6. coarse candidate ranking (sketch) ----
+    NE = params.cand_budget if params.cand_budget > 0 else NC
+    NE = min(NE, NC)
+    if NE < NC:
+        dsk = index.doc_sketch[safe_cand]  # [B, NC, ds]
+        dscale = index.doc_sketch_scale[safe_cand]
+        if params.block_mode != "sketch":
+            q_sk = sketch_padded_queries(
+                q_comps, q_vals, sketch_dim, sketch_seed
+            )
+        coarse = (
+            jnp.einsum(
+                "bnd,bd->bn",
+                dsk.astype(jnp.float32),
+                q_sk,
+                preferred_element_type=jnp.float32,
+            )
+            * dscale
+        )
+        coarse = jnp.where(cmask, coarse, -jnp.inf)
+        _, keep_pos = jax.lax.top_k(coarse, NE)
+        exact_ids = jnp.take_along_axis(cand_ids, keep_pos, axis=1)
+        exact_mask = jnp.take_along_axis(cmask, keep_pos, axis=1)
+    else:
+        exact_ids = cand_ids
+        exact_mask = cmask
+
+    # ---- 7. exact scoring ----
+    safe_exact = jnp.minimum(exact_ids, n_docs - 1)
+    scores = _exact_scores(index, qd, safe_exact)
+    scores = jnp.where(exact_mask, scores, -jnp.inf)
+
+    # ---- 8. dedup (visited set) + top-k ----
+    scores, sids = _dedup_by_id(scores, exact_ids, n_docs)
+    top_scores, pos = jax.lax.top_k(scores, k)
+    top_ids = jnp.take_along_axis(sids, pos, axis=1)
+
+    # ---- 9. k-NN refinement (inverted_index.rs:551-593) ----
+    if params.n_knn > 0 and index.knn is not None:
+        n_knn = min(params.n_knn, index.knn.shape[1])
+        safe_top = jnp.minimum(jnp.maximum(top_ids, 0), n_docs - 1)
+        neigh = index.knn[safe_top][..., :n_knn].reshape(B, k * n_knn)
+        neigh_valid = (
+            jnp.isfinite(top_scores)[:, :, None]
+            .repeat(n_knn, axis=2)
+            .reshape(B, k * n_knn)
+        ) & (neigh >= 0)
+        neigh = jnp.where(neigh_valid, neigh, n_docs)
+        nscores = _exact_scores(index, qd, jnp.minimum(neigh, n_docs - 1))
+        nscores = jnp.where(neigh_valid, nscores, -jnp.inf)
+        all_scores = jnp.concatenate([top_scores, nscores], axis=1)
+        all_ids = jnp.concatenate([top_ids, neigh], axis=1)
+        all_scores, all_ids = _dedup_by_id(all_scores, all_ids, n_docs)
+        top_scores, pos = jax.lax.top_k(all_scores, k)
+        top_ids = jnp.take_along_axis(all_ids, pos, axis=1)
+
+    top_ids = jnp.where(jnp.isfinite(top_scores), top_ids, -1)
+    return top_scores, top_ids
+
+
+@functools.partial(
+    jax.jit, static_argnames=("params", "sketch_dim", "sketch_seed")
+)
+def search_batch_jit(index, q_comps, q_vals, heap_factor, params, sketch_dim, sketch_seed):
+    return _search_impl(
+        index, q_comps, q_vals, heap_factor, params, sketch_dim, sketch_seed
+    )
+
+
+def search_batch(
+    index: DeviceIndex,
+    q_comps,
+    q_vals,
+    params: SearchParams,
+    heap_factor: float = 0.7,
+    sketch_dim: int = 128,
+    sketch_seed: int = 42,
+):
+    """Convenience wrapper: numpy in, numpy out."""
+    scores, ids = search_batch_jit(
+        index,
+        jnp.asarray(q_comps, dtype=jnp.int32),
+        jnp.asarray(q_vals, dtype=jnp.float32),
+        jnp.float32(heap_factor),
+        params,
+        sketch_dim,
+        sketch_seed,
+    )
+    return np.asarray(scores), np.asarray(ids)
+
+
+def pad_queries(
+    q_comps_list, q_vals_list, q_pad: int = 128
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pack ragged queries into [B, q_pad] padded arrays (components sorted;
+    longer queries keep their q_pad largest values)."""
+    B = len(q_comps_list)
+    comps = np.full((B, q_pad), PAD_COMPONENT, dtype=np.int32)
+    vals = np.zeros((B, q_pad), dtype=np.float32)
+    for i, (c, v) in enumerate(zip(q_comps_list, q_vals_list)):
+        c = np.asarray(c, dtype=np.int64)
+        v = np.asarray(v, dtype=np.float32)
+        if len(c) > q_pad:
+            top = np.argpartition(-v, q_pad)[:q_pad]
+            c, v = c[top], v[top]
+        order = np.argsort(c, kind="stable")
+        c, v = c[order], v[order]
+        comps[i, : len(c)] = c
+        vals[i, : len(c)] = v
+    return comps, vals

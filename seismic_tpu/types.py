@@ -1,0 +1,326 @@
+"""The device-side index representation.
+
+Everything the jitted search program touches is a fixed-shape dense array in
+this dataclass. This is the TPU-native re-design of the reference's pointer
+structures (reference: src/inverted_index.rs:38-52, src/posting_list.rs:69-73,
+src/quantized_summary.rs:15-24):
+
+- forward index          -> padded CSR tiles  [n_docs, doc_width]
+- posting lists + blocks -> one flat posting array, blocks as (start, len)
+                            windows, a list's blocks stored contiguously
+- quantized summaries    -> padded per-block CSR tiles of u8 codes with
+                            per-block (min, quant) dequant params (exact
+                            path), plus int8 CountSketch rows (fast path)
+- k-NN graph             -> dense [n_docs, nknn] int32
+
+All ids are int32; component u16/u32 width is an API-level capacity check
+only (TPU vectors are int32 either way; SURVEY.md §7 step 6).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from .config import Configuration
+from .data.sparse import PAD_COMPONENT
+
+INDEX_SUFFIX = ".index.seismic_tpu"
+KNN_SUFFIX = ".knn.seismic_tpu"
+
+# Version for the on-disk format.
+FORMAT_VERSION = 1
+
+
+@dataclass
+class IndexArrays:
+    """Host (NumPy) mirror of the device index. `to_device()` uploads."""
+
+    # --- forward index tiles ---
+    fwd_comps: np.ndarray  # int32 [n_docs, W], PAD_COMPONENT padded, sorted
+    fwd_vals: np.ndarray  # f32/f16/bf16 [n_docs, W] (or u8 codes, see scale)
+    # u8 value compression (DotVByte-equivalent, SURVEY §2.3): when set,
+    # true value = fwd_vals * fwd_val_step[doc] + fwd_val_min[doc].
+    fwd_val_min: Optional[np.ndarray] = None  # f32 [n_docs]
+    fwd_val_step: Optional[np.ndarray] = None  # f32 [n_docs]
+
+    # --- posting lists / blocks ---
+    postings: np.ndarray = None  # int32 [total_postings_pad] doc ids
+    block_start: np.ndarray = None  # int32 [n_blocks_pad] into postings
+    block_len: np.ndarray = None  # int32 [n_blocks_pad] (<= max_block_len)
+    list_block_start: np.ndarray = None  # int32 [n_lists] into blocks
+    list_n_blocks: np.ndarray = None  # int32 [n_lists]
+
+    # --- block summaries: exact u8-quantized CSR tiles ---
+    summary_comps: np.ndarray = None  # int32 [n_blocks_pad, S] PAD padded
+    summary_codes: np.ndarray = None  # uint8 [n_blocks_pad, S]
+    summary_min: np.ndarray = None  # f32 [n_blocks_pad]
+    summary_quant: np.ndarray = None  # f32 [n_blocks_pad]
+
+    # --- block summaries: per-list local-vocab dense u8 matrix (the MXU
+    # block-ranking fast path; no reference equivalent — replaces the
+    # sparse-merge of quantized_summary.rs:64-160 with a matmul) ---
+    list_vocab: Optional[np.ndarray] = None  # int32 [n_lists, V] PAD padded
+    dense_summary: Optional[np.ndarray] = None  # uint8 [n_blocks_pad, V]
+    dense_scale: Optional[np.ndarray] = None  # f32 [n_blocks_pad]
+
+    # --- block summaries: int8 sketch (experimental ranking mode) ---
+    block_sketch: Optional[np.ndarray] = None  # int8 [n_blocks_pad, ds]
+    block_sketch_scale: Optional[np.ndarray] = None  # f32 [n_blocks_pad]
+
+    # --- per-document sketches (coarse candidate scoring) ---
+    doc_sketch: Optional[np.ndarray] = None  # int8 [n_docs, ds]
+    doc_sketch_scale: Optional[np.ndarray] = None  # f32 [n_docs]
+
+    # --- optional k-NN graph ---
+    knn: Optional[np.ndarray] = None  # int32 [n_docs, nknn]
+
+    # --- metadata ---
+    dim: int = 0
+    n_docs: int = 0
+    max_blocks_per_list: int = 0
+    max_block_len: int = 0
+    config: Optional[Configuration] = None
+
+    # ------------------------------------------------------------------
+    @property
+    def n_lists(self) -> int:
+        return len(self.list_block_start)
+
+    @property
+    def nknn(self) -> int:
+        return 0 if self.knn is None else self.knn.shape[1]
+
+    def space_usage_report(self) -> dict:
+        """Per-structure byte accounting, mirroring the reference SpaceUsage
+        breakdown (reference: src/inverted_index.rs:102-149)."""
+
+        def nb(a):
+            return 0 if a is None else int(a.nbytes)
+
+        forward = (
+            nb(self.fwd_comps)
+            + nb(self.fwd_vals)
+            + nb(self.fwd_val_min)
+            + nb(self.fwd_val_step)
+        )
+        postings = nb(self.postings) + nb(self.block_start) + nb(self.block_len)
+        offsets = nb(self.list_block_start) + nb(self.list_n_blocks)
+        summaries = (
+            nb(self.summary_comps)
+            + nb(self.summary_codes)
+            + nb(self.summary_min)
+            + nb(self.summary_quant)
+            + nb(self.list_vocab)
+            + nb(self.dense_summary)
+            + nb(self.dense_scale)
+            + nb(self.block_sketch)
+            + nb(self.block_sketch_scale)
+        )
+        sketches = nb(self.doc_sketch) + nb(self.doc_sketch_scale)
+        knn = nb(self.knn)
+        total = forward + postings + offsets + summaries + sketches + knn
+        return {
+            "forward_index": forward,
+            "packed_postings": postings,
+            "block_offsets": offsets,
+            "summaries": summaries,
+            "doc_sketches": sketches,
+            "knn": knn,
+            "total": total,
+        }
+
+    def print_space_usage_byte(self) -> int:
+        rep = self.space_usage_report()
+        print("Space Usage:")
+        print(f"\tForward Index: {rep['forward_index']} Bytes")
+        plt = rep["packed_postings"] + rep["block_offsets"] + rep["summaries"]
+        print(f"\tPosting Lists: {plt} Bytes")
+        print(f"\t  packed_postings: {rep['packed_postings']} Bytes")
+        print(f"\t  block_offsets: {rep['block_offsets']} Bytes")
+        print(f"\t  summaries: {rep['summaries']} Bytes")
+        print(f"\tDoc sketches: {rep['doc_sketches']} Bytes")
+        print(f"\tKnn: {rep['knn']} Bytes")
+        print(f"\tTotal: {rep['total']} Bytes")
+        return rep["total"]
+
+    # ------------------------------------------------------------- save/load
+    _ARRAY_FIELDS = (
+        "fwd_comps",
+        "fwd_vals",
+        "fwd_val_min",
+        "fwd_val_step",
+        "postings",
+        "block_start",
+        "block_len",
+        "list_block_start",
+        "list_n_blocks",
+        "summary_comps",
+        "summary_codes",
+        "summary_min",
+        "summary_quant",
+        "list_vocab",
+        "dense_summary",
+        "dense_scale",
+        "block_sketch",
+        "block_sketch_scale",
+        "doc_sketch",
+        "doc_sketch_scale",
+        "knn",
+    )
+
+    def save(self, path: str) -> str:
+        """Persist to `<path>.index.seismic_tpu` (npz + embedded metadata).
+
+        Preserves the reference's "build once, query many" workflow
+        (reference: IndexSerializer, src/inverted_index.rs:54-59).
+        """
+        if not path.endswith(INDEX_SUFFIX):
+            path = path + INDEX_SUFFIX
+        arrays = {}
+        for f in self._ARRAY_FIELDS:
+            a = getattr(self, f)
+            if a is not None:
+                arrays[f] = self._to_savable(a)
+        meta = {
+            "version": FORMAT_VERSION,
+            "dim": self.dim,
+            "n_docs": self.n_docs,
+            "max_blocks_per_list": self.max_blocks_per_list,
+            "max_block_len": self.max_block_len,
+            "config": self.config.to_dict() if self.config else None,
+        }
+        arrays["__meta__"] = np.frombuffer(
+            json.dumps(meta).encode("utf-8"), dtype=np.uint8
+        )
+        np.savez(path, **arrays)
+        # np.savez appends .npz; normalize to the exact requested path.
+        if os.path.exists(path + ".npz"):
+            os.replace(path + ".npz", path)
+        return path
+
+    @staticmethod
+    def _to_savable(a: np.ndarray) -> np.ndarray:
+        # np.savez cannot store bfloat16; round-trip through float32.
+        if a.dtype.name == "bfloat16":
+            return np.asarray(a, dtype=np.float32)
+        return a
+
+    @staticmethod
+    def load(path: str) -> "IndexArrays":
+        if not path.endswith(INDEX_SUFFIX) and os.path.exists(path + INDEX_SUFFIX):
+            path = path + INDEX_SUFFIX
+        with np.load(path, allow_pickle=False) as z:
+            meta = json.loads(bytes(z["__meta__"]).decode("utf-8"))
+            kwargs = {}
+            for f in IndexArrays._ARRAY_FIELDS:
+                kwargs[f] = z[f] if f in z.files else None
+        cfg = (
+            Configuration.from_dict(meta["config"]) if meta["config"] else None
+        )
+        return IndexArrays(
+            dim=meta["dim"],
+            n_docs=meta["n_docs"],
+            max_blocks_per_list=meta["max_blocks_per_list"],
+            max_block_len=meta["max_block_len"],
+            config=cfg,
+            **kwargs,
+        )
+
+    # ------------------------------------------------------------- device
+    def to_device(self, device=None):
+        """Upload all arrays to a device, returning a DeviceIndex pytree."""
+        import jax
+        import jax.numpy as jnp
+
+        def put(a):
+            if a is None:
+                return None
+            return jax.device_put(jnp.asarray(a), device)
+
+        return DeviceIndex(
+            **{f: put(getattr(self, f)) for f in self._ARRAY_FIELDS},
+            dim=self.dim,
+            n_docs=self.n_docs,
+            max_blocks_per_list=self.max_blocks_per_list,
+            max_block_len=self.max_block_len,
+        )
+
+
+@dataclass
+class DeviceIndex:
+    """Device-resident pytree of index arrays (leaves are jnp arrays).
+
+    Static metadata lives in aux fields so jit treats it as compile-time
+    constants.
+    """
+
+    fwd_comps: object
+    fwd_vals: object
+    fwd_val_min: object
+    fwd_val_step: object
+    postings: object
+    block_start: object
+    block_len: object
+    list_block_start: object
+    list_n_blocks: object
+    summary_comps: object
+    summary_codes: object
+    summary_min: object
+    summary_quant: object
+    list_vocab: object
+    dense_summary: object
+    dense_scale: object
+    block_sketch: object
+    block_sketch_scale: object
+    doc_sketch: object
+    doc_sketch_scale: object
+    knn: object
+    dim: int = 0
+    n_docs: int = 0
+    max_blocks_per_list: int = 0
+    max_block_len: int = 0
+
+
+def _register_device_index():
+    import jax
+
+    array_fields = [
+        f.name
+        for f in dataclasses.fields(DeviceIndex)
+        if f.name
+        not in ("dim", "n_docs", "max_blocks_per_list", "max_block_len")
+    ]
+
+    def flatten(d: DeviceIndex):
+        children = tuple(getattr(d, f) for f in array_fields)
+        aux = (d.dim, d.n_docs, d.max_blocks_per_list, d.max_block_len)
+        return children, aux
+
+    def unflatten(aux, children):
+        kwargs = dict(zip(array_fields, children))
+        return DeviceIndex(
+            **kwargs,
+            dim=aux[0],
+            n_docs=aux[1],
+            max_blocks_per_list=aux[2],
+            max_block_len=aux[3],
+        )
+
+    jax.tree_util.register_pytree_node(DeviceIndex, flatten, unflatten)
+
+
+_register_device_index()
+
+__all__ = [
+    "IndexArrays",
+    "DeviceIndex",
+    "PAD_COMPONENT",
+    "INDEX_SUFFIX",
+    "KNN_SUFFIX",
+]

@@ -1,0 +1,62 @@
+"""Test configuration: run everything on CPU with 8 virtual devices so
+multi-chip sharding tests work without TPU hardware (SURVEY.md §4)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+# The axon TPU plugin overrides JAX_PLATFORMS; force CPU explicitly so tests
+# never compile over the TPU tunnel.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)
+
+
+def make_random_dataset(
+    rng, n_docs=200, dim=500, min_nnz=8, max_nnz=40, seed=None
+):
+    """Seeded random SPLADE-like dataset (positive values), mirroring the
+    reference test generators (quantized_summary.rs:418-489)."""
+    if seed is not None:
+        rng = np.random.default_rng(seed)
+    rows = []
+    for _ in range(n_docs):
+        nnz = int(rng.integers(min_nnz, max_nnz + 1))
+        comps = rng.choice(dim, size=nnz, replace=False)
+        vals = rng.gamma(2.0, 1.0, size=nnz).astype(np.float32) + 0.01
+        rows.append((comps, vals))
+    from seismic_tpu.data.sparse import CsrDataset
+
+    return CsrDataset.from_rows(rows, dim=dim)
+
+
+def make_random_queries(rng, n_queries=20, dim=500, min_nnz=5, max_nnz=25):
+    comps, vals = [], []
+    for _ in range(n_queries):
+        nnz = int(rng.integers(min_nnz, max_nnz + 1))
+        comps.append(np.sort(rng.choice(dim, size=nnz, replace=False)))
+        vals.append(rng.gamma(2.0, 1.0, size=nnz).astype(np.float32) + 0.01)
+    return comps, vals
+
+
+@pytest.fixture(scope="session")
+def toy_documents_path():
+    return "/root/reference/examples/toy_dataset/documents.jsonl"
+
+
+@pytest.fixture(scope="session")
+def toy_queries_path():
+    return "/root/reference/examples/toy_dataset/queries.jsonl"
