@@ -1,0 +1,267 @@
+"""Document-sharded multi-chip search.
+
+The genuinely new layer relative to the single-node reference (SURVEY.md
+§2.7): documents are partitioned into contiguous shards, each chip builds /
+holds an independent index over its shard, and a query batch is answered by
+running the ordinary jitted search program per shard followed by an
+all-gather of the per-shard top-k and a final merge. Deterministic
+tie-breaking (score desc, lower global doc id first) keeps multi-chip
+results identical to a single-chip run over the concatenated collection.
+
+Mesh axes: queries shard over "data", documents over "docs"; the merge
+all-gather rides ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..config import Configuration
+from ..data.sparse import PAD_COMPONENT, CsrDataset
+from ..search.engine import SearchParams, _search_impl
+from ..types import DeviceIndex, IndexArrays
+
+
+# ---------------------------------------------------------------------------
+# Host-side shard construction
+# ---------------------------------------------------------------------------
+
+
+def _pad_rows(a: np.ndarray, n: int, fill) -> np.ndarray:
+    if a.shape[0] == n:
+        return a
+    pad = [(0, n - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+    return np.pad(a, pad, constant_values=fill)
+
+
+def _pad_cols(a: np.ndarray, n: int, fill) -> np.ndarray:
+    if a.shape[1] == n:
+        return a
+    pad = [(0, 0), (0, n - a.shape[1])] + [(0, 0)] * (a.ndim - 2)
+    return np.pad(a, pad, constant_values=fill)
+
+
+def pad_shards_to_common_shapes(shards: List[IndexArrays]) -> List[IndexArrays]:
+    """Pad every shard's arrays so all shards share identical shapes (the
+    static-shape requirement for one SPMD program across chips)."""
+    n_docs = max(s.fwd_comps.shape[0] for s in shards)
+    width = max(s.fwd_comps.shape[1] for s in shards)
+    n_post = max(s.postings.shape[0] for s in shards)
+    mb = max(s.max_blocks_per_list for s in shards)
+    nbp = max(max(s.block_start.shape[0] for s in shards),
+              max(int(s.list_n_blocks.sum()) for s in shards) + mb + 1)
+    nknn = max(s.nknn for s in shards)
+    out = []
+    for s in shards:
+        t = IndexArrays(
+            fwd_comps=_pad_cols(
+                _pad_rows(s.fwd_comps, n_docs, PAD_COMPONENT), width,
+                PAD_COMPONENT,
+            ),
+            fwd_vals=_pad_cols(_pad_rows(s.fwd_vals, n_docs, 0), width, 0),
+            fwd_val_min=None
+            if s.fwd_val_min is None
+            else _pad_rows(s.fwd_val_min, n_docs, 0),
+            fwd_val_step=None
+            if s.fwd_val_step is None
+            else _pad_rows(s.fwd_val_step, n_docs, 0),
+            postings=_pad_rows(s.postings, n_post, 0),
+            block_start=_pad_rows(s.block_start, nbp, 0),
+            block_len=_pad_rows(s.block_len, nbp, 0),
+            list_block_start=s.list_block_start,
+            list_n_blocks=s.list_n_blocks,
+            summary_comps=None
+            if s.summary_comps is None
+            else _pad_rows(s.summary_comps, nbp, PAD_COMPONENT),
+            summary_codes=None
+            if s.summary_codes is None
+            else _pad_rows(s.summary_codes, nbp, 0),
+            summary_min=_pad_rows(s.summary_min, nbp, 0),
+            summary_quant=_pad_rows(s.summary_quant, nbp, 0),
+            list_vocab=s.list_vocab,
+            dense_summary=None
+            if s.dense_summary is None
+            else _pad_rows(s.dense_summary, nbp, 0),
+            dense_scale=None
+            if s.dense_scale is None
+            else _pad_rows(s.dense_scale, nbp, 0),
+            block_sketch=None
+            if s.block_sketch is None
+            else _pad_rows(s.block_sketch, nbp, 0),
+            block_sketch_scale=None
+            if s.block_sketch_scale is None
+            else _pad_rows(s.block_sketch_scale, nbp, 0),
+            doc_sketch=None
+            if s.doc_sketch is None
+            else _pad_rows(s.doc_sketch, n_docs, 0),
+            doc_sketch_scale=None
+            if s.doc_sketch_scale is None
+            else _pad_rows(s.doc_sketch_scale, n_docs, 0),
+            knn=None
+            if s.knn is None and nknn == 0
+            else _pad_rows(
+                s.knn
+                if s.knn is not None
+                else np.full((s.n_docs, nknn), -1, np.int32),
+                n_docs,
+                -1,
+            ),
+            dim=s.dim,
+            n_docs=n_docs,
+            max_blocks_per_list=mb,
+            max_block_len=s.max_block_len,
+            config=s.config,
+        )
+        out.append(t)
+    return out
+
+
+@dataclass
+class ShardedIndex:
+    """A stacked, device-sharded index: every array leaf has a leading
+    [n_shards] axis sharded over the "docs" mesh axis."""
+
+    stacked: DeviceIndex  # leaves [n_shards, ...]
+    doc_offsets: jnp.ndarray  # [n_shards] global id of each shard's doc 0
+    mesh: Mesh
+    n_shards: int
+    total_docs: int
+    config: Optional[Configuration] = None
+
+    @staticmethod
+    def build(
+        dataset: CsrDataset,
+        mesh: Mesh,
+        config: Optional[Configuration] = None,
+        value_dtype: str = "f32",
+        progress: bool = False,
+    ) -> "ShardedIndex":
+        """Split the collection into contiguous shards, build one index per
+        shard (embarrassingly parallel, like the reference's per-list rayon
+        build), pad to common shapes, stack, and lay out over the mesh."""
+        from ..build.builder import build_index
+
+        config = config or Configuration()
+        n_shards = mesh.shape["docs"]
+        n = len(dataset)
+        bounds = np.linspace(0, n, n_shards + 1).astype(np.int64)
+        shards, offsets = [], []
+        for s in range(n_shards):
+            lo, hi = int(bounds[s]), int(bounds[s + 1])
+            sub = dataset.subset(np.arange(lo, hi))
+            shards.append(
+                build_index(sub, config, value_dtype=value_dtype,
+                            progress=progress)
+            )
+            offsets.append(lo)
+        return ShardedIndex.from_shards(shards, offsets, mesh, n, config)
+
+    @staticmethod
+    def from_shards(
+        shards: List[IndexArrays],
+        doc_offsets: Sequence[int],
+        mesh: Mesh,
+        total_docs: int,
+        config: Optional[Configuration] = None,
+    ) -> "ShardedIndex":
+        shards = pad_shards_to_common_shapes(shards)
+        devices = [s.to_device() for s in shards]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *devices)
+
+        def shard_leaf(x):
+            spec = P("docs", *([None] * (x.ndim - 1)))
+            return jax.device_put(x, NamedSharding(mesh, spec))
+
+        stacked = jax.tree.map(shard_leaf, stacked)
+        offs = jax.device_put(
+            jnp.asarray(list(doc_offsets), dtype=jnp.int32),
+            NamedSharding(mesh, P("docs")),
+        )
+        return ShardedIndex(
+            stacked=stacked,
+            doc_offsets=offs,
+            mesh=mesh,
+            n_shards=len(shards),
+            total_docs=total_docs,
+            config=config,
+        )
+
+    # ------------------------------------------------------------- search
+    def search_batch(
+        self,
+        q_comps: np.ndarray,
+        q_vals: np.ndarray,
+        params: SearchParams,
+        heap_factor: float = 0.7,
+    ):
+        """Batched multi-chip search; numpy in, numpy out. The query batch
+        must divide the "data" mesh axis size."""
+        layout = self.config.layout if self.config else None
+        fn = _make_sharded_search(
+            self.mesh,
+            params,
+            layout.sketch_dim if layout else 128,
+            layout.sketch_seed if layout else 42,
+        )
+        scores, ids = fn(
+            self.stacked,
+            self.doc_offsets,
+            jnp.asarray(q_comps, jnp.int32),
+            jnp.asarray(q_vals, jnp.float32),
+            jnp.float32(heap_factor),
+        )
+        return np.asarray(scores), np.asarray(ids)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_sharded_search(mesh, params, sketch_dim, sketch_seed):
+    """Build (and cache) the jitted SPMD search for one (mesh, params)."""
+
+    def local_search(index_stacked, doc_offset, q_comps, q_vals, hf):
+        # strip the per-shard leading axis of every leaf
+        local = jax.tree.map(lambda x: x[0], index_stacked)
+        scores, ids = _search_impl(
+            local, q_comps, q_vals, hf, params, sketch_dim, sketch_seed
+        )
+        gids = jnp.where(ids >= 0, ids + doc_offset[0], jnp.int32(-1))
+        # merge across the docs axis: all-gather [n_shards, B, k] then top-k
+        all_s = jax.lax.all_gather(scores, "docs")  # [S, B, k]
+        all_i = jax.lax.all_gather(gids, "docs")
+        S, B, k = all_s.shape
+        flat_s = jnp.transpose(all_s, (1, 0, 2)).reshape(B, S * k)
+        flat_i = jnp.transpose(all_i, (1, 0, 2)).reshape(B, S * k)
+        # deterministic tie-break: sort by (score desc, id asc)
+        sort_id = jnp.where(flat_i >= 0, flat_i, jnp.int32(2**31 - 1))
+        neg_s, _, out_i = jax.lax.sort(
+            (-flat_s, sort_id, flat_i), dimension=-1, num_keys=2
+        )
+        return -neg_s[:, :k], out_i[:, :k]
+
+    jitted = {}
+
+    def fn(stacked, doc_offsets, q_comps, q_vals, hf):
+        key = jax.tree.structure(stacked)
+        if key not in jitted:
+            in_index_specs = jax.tree.map(
+                lambda x: P("docs", *([None] * (x.ndim - 1))), stacked
+            )
+            mapped = shard_map(
+                local_search,
+                mesh=mesh,
+                in_specs=(in_index_specs, P("docs"), P("data", None),
+                          P("data", None), P()),
+                out_specs=(P("data", None), P("data", None)),
+                check_vma=False,
+            )
+            jitted[key] = jax.jit(mapped)
+        return jitted[key](stacked, doc_offsets, q_comps, q_vals, hf)
+
+    return fn

@@ -50,9 +50,10 @@ class SearchParams:
     block_budget: int = 48
     # Candidates exactly scored after coarse sketch ranking. 0 = all.
     cand_budget: int = 0
-    # "sketch" ranks blocks by int8 CountSketch matmul; "summary" uses the
-    # exact u8-quantized summaries (parity mode, slower).
-    block_mode: str = "sketch"
+    # "dense" ranks blocks with the per-list local-vocab u8 matmul (fast,
+    # exact up to the vocab cap); "summary" uses the u8 CSR summaries
+    # (parity mode); "sketch" is the experimental CountSketch ranker.
+    block_mode: str = "dense"
     n_knn: int = 0
     # Accepted for API parity; block evaluation order is data-independent in
     # the batched design, so this has no effect (see module docstring).
@@ -238,9 +239,12 @@ def _search_impl(
     BE = min(BE, QC * MB)
     top_block_scores, top_block_pos = jax.lax.top_k(block_scores, BE)
     sel_blocks = jnp.take_along_axis(block_ids, top_block_pos, axis=1)
-    theta = top_block_scores[:, jnp.minimum(k, BE) - 1]  # proxy for kth best
+    theta = top_block_scores[:, min(k, BE) - 1]  # proxy for the kth best
+    # Guard: with fewer than k finite block scores theta is -inf and
+    # heap_factor * theta would be NaN at heap_factor == 0.
+    thr = jnp.where(jnp.isfinite(theta), heap_factor * theta, -jnp.inf)
     eval_mask = jnp.isfinite(top_block_scores) & (
-        top_block_scores >= heap_factor * theta[:, None]
+        top_block_scores >= thr[:, None]
     )
     sel_blocks = jnp.where(eval_mask, sel_blocks, sentinel_block)
 
