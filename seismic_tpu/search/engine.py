@@ -72,7 +72,9 @@ def densify_query_batch(q_comps, q_vals, dim: int):
     qd = jnp.zeros((B, dim + 1), dtype=jnp.float32)
     rows = jnp.broadcast_to(jnp.arange(B)[:, None], q_comps.shape)
     comps = jnp.minimum(q_comps, dim)
-    vals = jnp.where(q_comps == PAD_COMPONENT, 0.0, q_vals.astype(jnp.float32))
+    # Out-of-vocabulary components (>= dim, e.g. query-only tokens) must not
+    # leak into the zero slot that padded doc-tile lookups read.
+    vals = jnp.where(q_comps >= dim, 0.0, q_vals.astype(jnp.float32))
     return qd.at[rows, comps].add(vals, mode="drop")
 
 
@@ -117,13 +119,27 @@ def _dedup_by_id(scores, ids, n_docs: int):
     return scores_sorted, ids_sorted
 
 
-def _exact_scores(index: DeviceIndex, qd, doc_ids):
+def _exact_scores(index: DeviceIndex, qd, doc_ids, chunk: int = 1024):
     """Exact dot products of `doc_ids` [B, N] against the dense queries.
 
     This is the TPU replacement of `evaluate_posting_block`'s
     prefetch + sparse-merge (posting_list.rs:188-215): contiguous row
     gathers of padded doc tiles + a dense-query table lookup, f32 accumulate.
+    Large candidate sets are scored in sequential chunks to bound the
+    [B, chunk, W] gathered-tile working set.
     """
+    B, N = doc_ids.shape
+    if N <= chunk:
+        return _exact_scores_block(index, qd, doc_ids)
+    n_chunks = -(-N // chunk)
+    padded = n_chunks * chunk
+    ids = jnp.pad(doc_ids, ((0, 0), (0, padded - N)))
+    ids = ids.reshape(B, n_chunks, chunk).transpose(1, 0, 2)
+    out = jax.lax.map(lambda c: _exact_scores_block(index, qd, c), ids)
+    return out.transpose(1, 0, 2).reshape(B, padded)[:, :N]
+
+
+def _exact_scores_block(index: DeviceIndex, qd, doc_ids):
     tiles_comps = index.fwd_comps[doc_ids]  # [B, N, W]
     tiles_vals = _decode_fwd_vals(
         index, index.fwd_vals[doc_ids], tiles_comps, doc_ids
