@@ -31,17 +31,18 @@ N_QUERIES = 512
 K = 10
 BATCH = int(os.environ.get("BENCH_BATCH", 256))
 TARGET_RECALL = 0.97
-N_POSTINGS = int(os.environ.get("BENCH_N_POSTINGS", 400))
+N_POSTINGS = int(os.environ.get("BENCH_N_POSTINGS", 100))
 BASELINE_QPS = 1e6 / 185.0  # reference single-thread CPU AQT
 
-# (query_cut, heap_factor, block_budget): escalating accuracy ladder
+# (query_cut, heap_factor, full_lists, block_budget): accuracy ladder for
+# the tiles mode (full_lists ignores hf/budget and scans selected lists)
 LADDER = [
-    (10, 0.9, 64),
-    (10, 0.8, 96),
-    (15, 0.8, 128),
-    (20, 0.7, 160),
-    (20, 0.4, 256),
-    (25, 0.0, 384),
+    (10, 0.8, False, 64),
+    (10, 0.0, True, 0),
+    (15, 0.0, True, 0),
+    (20, 0.0, True, 0),
+    (30, 0.0, True, 0),
+    (45, 0.0, True, 0),
 ]
 
 
@@ -161,9 +162,11 @@ def main():
     ]
 
     chosen = None
-    for query_cut, hf, budget in LADDER:
+    for query_cut, hf, full_lists, budget in LADDER:
         params = SearchParams(
-            k=K, query_cut=query_cut, block_budget=budget, block_mode="dense"
+            k=K, query_cut=query_cut, block_budget=budget,
+            block_mode="dense", doc_mode="tiles", full_lists=full_lists,
+            score_cut=64,
         )
         outs = []
         for b in range(n_batches):
@@ -173,7 +176,8 @@ def main():
             )
             outs.append(np.asarray(i))
         rec = recall_at_k(np.concatenate(outs), gt_ids)
-        log(f"qc={query_cut} hf={hf} budget={budget}: recall@10={rec:.4f}")
+        log(f"qc={query_cut} hf={hf} full={full_lists} budget={budget}: "
+            f"recall@10={rec:.4f}")
         chosen = (params, hf, rec)
         if rec >= TARGET_RECALL:
             break
@@ -189,7 +193,8 @@ def main():
                 index, qc_dev[b], qv_dev[b], hf_dev, params,
                 layout.sketch_dim, layout.sketch_seed,
             )
-        jax.block_until_ready(res)
+        # force real completion (axon's block_until_ready is async)
+        np.asarray(res[0]).ravel()[:1]
 
     run_all()  # warmup (compiled already, but fill caches)
     reps = 10
@@ -211,7 +216,8 @@ def main():
         "metric": (
             f"batched QPS/chip at recall@10>={rec:.3f} "
             f"(synthetic SPLADE, {N_DOCS} docs, dim {DIM}, k={K}, "
-            f"qc={params.query_cut}, hf={hf}, budget={params.block_budget})"
+            f"qc={params.query_cut}, tiles mode, "
+            f"full_lists={params.full_lists})"
         ),
         "value": round(qps, 1),
         "unit": "qps",

@@ -150,6 +150,9 @@ class _IndexBase:
         block_budget: Optional[int],
         cand_budget: Optional[int],
         block_mode: Optional[str],
+        doc_mode: Optional[str] = None,
+        full_lists: bool = False,
+        score_cut: int = 64,
     ) -> SearchParams:
         if block_mode is None:
             if self._arrays.dense_summary is not None:
@@ -158,6 +161,10 @@ class _IndexBase:
                 block_mode = "summary"
             else:
                 block_mode = "sketch"
+        if doc_mode is None:
+            doc_mode = (
+                "tiles" if self._arrays.doc_tiles is not None else "gather"
+            )
         if block_budget is None:
             block_budget = max(4 * k, 64)
         if cand_budget is None:
@@ -168,6 +175,9 @@ class _IndexBase:
             block_budget=block_budget,
             cand_budget=cand_budget,
             block_mode=block_mode,
+            doc_mode=doc_mode,
+            full_lists=full_lists,
+            score_cut=score_cut,
             n_knn=n_knn,
             first_sorted=first_sorted,
         )
@@ -184,6 +194,9 @@ class _IndexBase:
         block_budget: Optional[int] = None,
         cand_budget: Optional[int] = None,
         block_mode: Optional[str] = None,
+        doc_mode: Optional[str] = None,
+        full_lists: bool = False,
+        score_cut: int = 64,
     ):
         if n_knn > 0 and self._arrays.knn is None:
             raise ValueError(
@@ -201,7 +214,8 @@ class _IndexBase:
             )
             q_vals = np.pad(q_vals, ((0, bb - B), (0, 0)))
         params = self._search_params(
-            k, query_cut, n_knn, first_sorted, block_budget, cand_budget, block_mode
+            k, query_cut, n_knn, first_sorted, block_budget, cand_budget,
+            block_mode, doc_mode, full_lists, score_cut,
         )
         layout = self._arrays.config.layout if self._arrays.config else TpuLayout()
         scores, ids = search_batch(

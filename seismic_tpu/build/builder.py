@@ -64,6 +64,7 @@ def build_index(
     value_dtype: str = "f32",
     store_summaries: bool = True,
     store_sketches: bool = True,
+    store_doc_tiles: bool = True,
     progress: bool = False,
 ) -> IndexArrays:
     """Build the full index from a CSR dataset.
@@ -177,15 +178,42 @@ def build_index(
             summary_comps[i, : len(cc)] = cc
             summary_codes[i, : len(cc)] = codes
 
-    # --- per-list local-vocab dense summaries (MXU fast path) -------------
+    # --- per-list posting ranges (doc-tile addressing) --------------------
+    list_post_start = np.zeros(n_lists, dtype=np.int32)
+    list_len = np.zeros(n_lists, dtype=np.int32)
+    posting_block_local = np.zeros(len(postings), dtype=np.int32)
+    for list_id in range(n_lists):
+        s = int(list_block_start[list_id])
+        n = int(list_n_blocks[list_id])
+        list_post_start[list_id] = block_start_arr[s] if n else 0
+        list_len[list_id] = int(block_len_arr[s : s + n].sum())
+        for j in range(n):
+            bs, bl = int(block_start_arr[s + j]), int(block_len_arr[s + j])
+            posting_block_local[bs : bs + bl] = j
+    max_list_len = int(list_len.max()) if n_lists else 0
+
+    # --- per-list local-vocab dense summaries + doc tiles (MXU fast path) -
     list_vocab = dense_summary = dense_scale = None
+    doc_tiles = doc_tile_scale = None
     if layout.summary_vocab_cap > 0:
-        list_vocab, dense_summary, dense_scale = _build_dense_summaries(
+        (
+            list_vocab,
+            dense_summary,
+            dense_scale,
+            doc_tiles,
+            doc_tile_scale,
+        ) = _build_dense_structures(
+            dataset,
             summaries_per_block,
+            postings,
+            list_post_start,
+            list_len,
             list_block_start,
             list_n_blocks,
             nbp,
             layout.summary_vocab_cap,
+            max_list_len,
+            store_doc_tiles=store_doc_tiles,
         )
 
     # --- block sketches (experimental ranking mode) -----------------------
@@ -243,6 +271,14 @@ def build_index(
         list_vocab=list_vocab,
         dense_summary=dense_summary,
         dense_scale=dense_scale,
+        doc_tiles=doc_tiles,
+        doc_tile_scale=doc_tile_scale,
+        list_post_start=list_post_start,
+        list_len=list_len,
+        posting_block_local=np.concatenate(
+            [posting_block_local,
+             np.zeros(max_list_len, dtype=np.int32)]
+        ),
         block_sketch=block_sketch,
         block_sketch_scale=block_sketch_scale,
         doc_sketch=doc_sketch,
@@ -252,67 +288,110 @@ def build_index(
         n_docs=len(dataset),
         max_blocks_per_list=max_blocks_per_list,
         max_block_len=max_block_len,
+        max_list_len=max_list_len,
         config=config,
     )
 
 
-def _build_dense_summaries(
+def _quantize_rows_u8(rows: np.ndarray):
+    """Per-row u8 quantization with zero preserved exactly:
+    dequant = code * scale, scale = rowmax / 255."""
+    mx = rows.max(axis=1)
+    scale = np.where(mx > 0, mx / 255.0, 1.0).astype(np.float32)
+    codes = np.clip(np.rint(rows / scale[:, None]), 0, 255).astype(np.uint8)
+    scale = np.where(mx > 0, scale, 0.0).astype(np.float32)
+    return codes, scale
+
+
+def _build_dense_structures(
+    dataset: CsrDataset,
     summaries_per_block,
+    postings: np.ndarray,
+    list_post_start: np.ndarray,
+    list_len: np.ndarray,
     list_block_start: np.ndarray,
     list_n_blocks: np.ndarray,
     nbp: int,
     v_cap: int,
+    max_list_len: int,
+    store_doc_tiles: bool = True,
 ):
-    """Per-list dense u8 summary matrices over a local top-`v_cap` vocab.
+    """Per-list local-vocab dense structures for the MXU fast paths.
 
-    For each list, keep the components with the largest max dequantized
-    summary value across the list's blocks; every block summary becomes a
-    dense row over that local vocabulary, u8-quantized per block with
-    dequant = code * scale (zeros stay exactly zero). Block ranking then
-    runs as [max_blocks, v_cap] @ [v_cap] matmuls on the MXU.
+    For each list: the local vocabulary is the top-`v_cap` components of the
+    component-wise max over the list's documents. Two dense u8 matrices are
+    built over it:
+
+    - `dense_summary` [n_blocks_pad, V]: one row per block summary
+      (block ranking = [MB, V] @ [V] matmul);
+    - `doc_tiles` [total_postings_pad, V]: one row per posting occurrence,
+      stored in posting order so a whole list (or block) of candidate
+      documents is one contiguous dynamic slice (doc scoring =
+      [L, V] @ [V] matmul). This replicates document values per occurrence
+      deliberately: contiguous streaming beats random row gathers on TPU.
+
+    Rows are u8-quantized per row with dequant = code * scale.
     """
-    n_lists = len(list_block_start)
+    from .kmeans import _doc_entries
+
+    n_lists = len(list_post_start)
     list_vocab = np.full((n_lists, v_cap), PAD_COMPONENT, dtype=np.int32)
     dense_summary = np.zeros((nbp, v_cap), dtype=np.uint8)
     dense_scale = np.zeros(nbp, dtype=np.float32)
+    doc_tiles = doc_tile_scale = None
+    if store_doc_tiles:
+        n_post_pad = len(postings) + max_list_len
+        doc_tiles = np.zeros((n_post_pad, v_cap), dtype=np.uint8)
+        doc_tile_scale = np.zeros(n_post_pad, dtype=np.float32)
+
     for list_id in range(n_lists):
-        s = int(list_block_start[list_id])
-        n = int(list_n_blocks[list_id])
-        if n == 0:
+        ln = int(list_len[list_id])
+        if ln == 0:
             continue
-        blocks = summaries_per_block[s : s + n]
-        # local vocab: components ranked by max dequantized value
-        all_c = np.concatenate([b[0] for b in blocks])
-        all_v = np.concatenate(
-            [dequantize_u8(b[1], b[2], b[3]) for b in blocks]
-        )
-        order = np.lexsort((-all_v, all_c))
-        c_sorted, v_sorted = all_c[order], all_v[order]
-        first = np.ones(len(c_sorted), dtype=bool)
-        first[1:] = c_sorted[1:] != c_sorted[:-1]
-        uniq_c, uniq_v = c_sorted[first], v_sorted[first]
+        ps = int(list_post_start[list_id])
+        doc_ids = postings[ps : ps + ln].astype(np.int64)
+        local, comps, vals = _doc_entries(dataset, doc_ids)
+
+        # ---- local vocab: top-v_cap by max-pooled doc value ----
+        order = np.lexsort((-vals, comps))
+        c_s, v_s = comps[order], vals[order]
+        first = np.ones(len(c_s), dtype=bool)
+        first[1:] = c_s[1:] != c_s[:-1]
+        uniq_c, uniq_v = c_s[first], v_s[first]
         if len(uniq_c) > v_cap:
             top = np.argpartition(-uniq_v, v_cap)[:v_cap]
             kept = np.sort(uniq_c[top])
         else:
-            kept = uniq_c  # already sorted ascending
+            kept = np.sort(uniq_c)
         list_vocab[list_id, : len(kept)] = kept
-        # dense rows per block
-        for j, (cc, codes, mn, quant) in enumerate(blocks):
-            vals = dequantize_u8(codes, mn, quant)
-            pos = np.searchsorted(kept, cc)
+
+        # ---- doc tiles: scatter each occurrence onto the local vocab ----
+        if store_doc_tiles:
+            pos = np.searchsorted(kept, comps)
             pos_c = np.minimum(pos, len(kept) - 1)
-            hit = kept[pos_c] == cc
-            row = np.zeros(v_cap, dtype=np.float32)
-            row[pos_c[hit]] = vals[hit]
-            mx = row.max()
-            if mx > 0:
-                scale = mx / 255.0
-                dense_summary[s + j] = np.clip(
-                    np.rint(row / scale), 0, 255
-                ).astype(np.uint8)
-                dense_scale[s + j] = scale
-    return list_vocab, dense_summary, dense_scale
+            hit = kept[pos_c] == comps
+            rows = np.zeros((ln, v_cap), dtype=np.float32)
+            rows[local[hit], pos_c[hit]] = vals[hit]
+            codes, scale = _quantize_rows_u8(rows)
+            doc_tiles[ps : ps + ln] = codes
+            doc_tile_scale[ps : ps + ln] = scale
+
+        # ---- dense summary rows over the same vocab ----
+        s = int(list_block_start[list_id])
+        n = int(list_n_blocks[list_id])
+        blocks = summaries_per_block[s : s + n]
+        srows = np.zeros((n, v_cap), dtype=np.float32)
+        for j, (cc, codes_j, mn, quant) in enumerate(blocks):
+            svals = dequantize_u8(codes_j, mn, quant)
+            p = np.searchsorted(kept, cc)
+            p_c = np.minimum(p, len(kept) - 1)
+            h = kept[p_c] == cc
+            srows[j, p_c[h]] = svals[h]
+        codes, scale = _quantize_rows_u8(srows)
+        dense_summary[s : s + n] = codes
+        dense_scale[s : s + n] = scale
+
+    return list_vocab, dense_summary, dense_scale, doc_tiles, doc_tile_scale
 
 
 def _summary_csr(summaries):

@@ -54,10 +54,26 @@ class SearchParams:
     # exact up to the vocab cap); "summary" uses the u8 CSR summaries
     # (parity mode); "sketch" is the experimental CountSketch ranker.
     block_mode: str = "dense"
+    # Document scoring path:
+    #   "gather" — gather forward-index rows, score against the dense query
+    #              (exact; random access, slow on gather-weak devices);
+    #   "tiles"  — stream the replicated block-aligned dense doc tiles and
+    #              score on the MXU (contiguous; exact w.r.t. the list-vocab
+    #              restriction + u8 quantization). Requires doc_tiles.
+    doc_mode: str = "gather"
+    # In tiles mode: score every posting of the selected lists (ignores the
+    # block structure entirely; highest recall for a given query_cut).
+    full_lists: bool = True
+    # Number of top query terms participating in scoring stages (tiles /
+    # dense-summary ranking). Full exactness needs >= the query's nnz.
+    score_cut: int = 64
     n_knn: int = 0
     # Accepted for API parity; block evaluation order is data-independent in
     # the batched design, so this has no effect (see module docstring).
     first_sorted: bool = False
+    # Pool size for the dedup stage in tiles mode (top candidates kept
+    # before duplicate removal); 0 = 8 * k.
+    dedup_pool: int = 0
 
 
 # ---------------------------------------------------------------------------
@@ -101,12 +117,16 @@ def _decode_fwd_vals(index: DeviceIndex, tiles_vals, tiles_comps, doc_ids):
 
 
 def _dedup_by_id(scores, ids, n_docs: int):
-    """Sort candidates by id, mask duplicates (the `visited` set,
-    posting_list.rs:206-214), return (scores, ids) with dups at -inf."""
+    """Sort candidates by (id, score desc), mask duplicates keeping each
+    id's best score (the `visited` set, posting_list.rs:206-214 — except
+    the reference scores a doc once; we may score a doc under several list
+    projections and keep the max). Returns (scores, ids), dups at -inf."""
     ids = jnp.where(jnp.isfinite(scores), ids, n_docs)
-    ids_sorted, scores_sorted = jax.lax.sort(
-        (ids.astype(jnp.int32), scores), dimension=-1, num_keys=1
+    neg = jnp.where(jnp.isfinite(scores), -scores, jnp.inf)
+    ids_sorted, neg_sorted = jax.lax.sort(
+        (ids.astype(jnp.int32), neg), dimension=-1, num_keys=2
     )
+    scores_sorted = -neg_sorted
     dup = jnp.concatenate(
         [
             jnp.zeros_like(ids_sorted[..., :1], dtype=bool),
@@ -117,6 +137,19 @@ def _dedup_by_id(scores, ids, n_docs: int):
     invalid = ids_sorted >= n_docs
     scores_sorted = jnp.where(dup | invalid, -jnp.inf, scores_sorted)
     return scores_sorted, ids_sorted
+
+
+def _qloc_compare(vocab, q_comps, q_vals, score_cut: int):
+    """Project queries onto per-list local vocabularies without gathers:
+    qloc[b, l, v] = sum_i qv_i * [vocab[b, l, v] == qc_i], over the query's
+    top-`score_cut` terms (fused one-hot compare; MXU/VPU friendly)."""
+    sc = min(score_cut, q_vals.shape[1])
+    top_v, top_p = jax.lax.top_k(q_vals, sc)
+    top_c = jnp.take_along_axis(q_comps, top_p, axis=1)  # [B, sc]
+    eq = (vocab[..., None] == top_c[:, None, None, :]).astype(jnp.float32)
+    return jnp.einsum(
+        "bqvi,bi->bqv", eq, top_v, preferred_element_type=jnp.float32
+    )
 
 
 def _exact_scores(index: DeviceIndex, qd, doc_ids, chunk: int = 1024):
@@ -149,6 +182,167 @@ def _exact_scores_block(index: DeviceIndex, qd, doc_ids):
 
 
 # ---------------------------------------------------------------------------
+# Tiles-mode search: contiguous streaming + MXU (no random row gathers)
+# ---------------------------------------------------------------------------
+
+
+def _tiles_search(
+    index: DeviceIndex,
+    params: SearchParams,
+    q_comps,
+    q_vals,
+    safe_lists,  # [B, QC] int32
+    sel_valid,  # [B, QC] bool
+    heap_factor,
+):
+    """Score the selected lists' replicated dense doc tiles on the MXU.
+
+    Replaces the reference's block-scan + forward-index random access
+    (posting_list.rs:115-215) with per-list contiguous slices: every posting
+    occurrence carries a dense u8 row over the list's local vocabulary, so
+    candidate scoring is [list_len, V] @ qloc matmuls. With
+    `full_lists=False` the dense summaries prune whole blocks first
+    (heap_factor semantics); with `full_lists=True` every posting of the
+    selected lists is scored (the exhaustive-scan limit of the reference's
+    heap_factor -> 0).
+    """
+    B, QC = safe_lists.shape
+    n_docs = index.n_docs
+    V = index.list_vocab.shape[1]
+    LL = max(index.max_list_len, 1)
+    MB = max(index.max_blocks_per_list, 1)
+    k = params.k
+
+    vocab = index.list_vocab[safe_lists]  # [B, QC, V]
+    qloc = _qloc_compare(vocab, q_comps, q_vals, params.score_cut)
+
+    lps = index.list_post_start[safe_lists]  # [B, QC]
+    lln = index.list_len[safe_lists]
+
+    def score_list(start, qv_vec):
+        tile = jax.lax.dynamic_slice(index.doc_tiles, (start, 0), (LL, V))
+        scale = jax.lax.dynamic_slice(index.doc_tile_scale, (start,), (LL,))
+        return (
+            jnp.dot(
+                tile.astype(jnp.float32),
+                qv_vec,
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        )
+
+    scores = jax.vmap(jax.vmap(score_list))(lps, qloc)  # [B, QC, LL]
+    pos_mask = (
+        (jnp.arange(LL, dtype=jnp.int32) < lln[..., None])
+        & sel_valid[..., None]
+    )
+
+    if not params.full_lists:
+        # Block-level pruning: rank blocks by their dense summaries, apply
+        # the heap_factor skip (posting_list.rs:130), and mask postings of
+        # skipped blocks via the per-posting local block index.
+        lbs = index.list_block_start[safe_lists]
+        lnb = index.list_n_blocks[safe_lists]
+
+        def block_scores_one(bstart, qv_vec):
+            tile = jax.lax.dynamic_slice(
+                index.dense_summary, (bstart, 0), (MB, V)
+            )
+            scale = jax.lax.dynamic_slice(
+                index.dense_scale, (bstart,), (MB,)
+            )
+            return (
+                jnp.dot(
+                    tile.astype(jnp.float32),
+                    qv_vec,
+                    preferred_element_type=jnp.float32,
+                )
+                * scale
+            )
+
+        bscores = jax.vmap(jax.vmap(block_scores_one))(lbs, qloc)
+        steps = jnp.arange(MB, dtype=jnp.int32)
+        bvalid = (steps < lnb[..., None]) & sel_valid[..., None]
+        bscores = jnp.where(bvalid, bscores, -jnp.inf)
+        flat_b = bscores.reshape(B, QC * MB)
+        BE = min(
+            params.block_budget if params.block_budget > 0 else QC * MB,
+            QC * MB,
+        )
+        tbs, _ = jax.lax.top_k(flat_b, BE)
+        theta = tbs[:, min(k, BE) - 1]
+        thr = jnp.where(jnp.isfinite(theta), heap_factor * theta, -jnp.inf)
+        cutoff = jnp.minimum(thr, tbs[:, BE - 1])  # budget + heap factor
+        keep_block = bscores >= cutoff[:, None, None]  # [B, QC, MB]
+
+        def post_block_one(start):
+            return jax.lax.dynamic_slice(
+                index.posting_block_local, (start,), (LL,)
+            )
+
+        pblock = jax.vmap(jax.vmap(post_block_one))(lps)  # [B, QC, LL]
+        # membership via compare-sum (gather-free)
+        keep_post = jnp.zeros((B, QC, LL), dtype=bool)
+        for m in range(MB):
+            keep_post = keep_post | (
+                (pblock == m) & keep_block[:, :, m : m + 1]
+            )
+        pos_mask = pos_mask & keep_post
+
+    scores = jnp.where(pos_mask, scores, -jnp.inf)
+    flat = scores.reshape(B, QC * LL)
+
+    pool = params.dedup_pool if params.dedup_pool > 0 else max(8 * k, 64)
+    pool = min(pool, QC * LL)
+    top_scores, pos = jax.lax.top_k(flat, pool)  # [B, pool]
+    qc_slot = pos // LL
+    off = pos % LL
+    post_idx = jnp.take_along_axis(lps, qc_slot, axis=1) + off
+    cand_ids = jnp.take(
+        index.postings, jnp.minimum(post_idx, index.postings.shape[0] - 1)
+    )
+    cand_ids = jnp.where(jnp.isfinite(top_scores), cand_ids, n_docs)
+
+    dscores, dids = _dedup_by_id(top_scores, cand_ids, n_docs)
+    out_scores, opos = jax.lax.top_k(dscores, k)
+    out_ids = jnp.take_along_axis(dids, opos, axis=1)
+
+    if params.n_knn > 0 and index.knn is not None:
+        qd = densify_query_batch(q_comps, q_vals, index.dim)
+        out_scores, out_ids = _knn_refine(
+            index, params, qd, out_scores, out_ids
+        )
+
+    out_ids = jnp.where(jnp.isfinite(out_scores), out_ids, -1)
+    return out_scores, out_ids
+
+
+def _knn_refine(index: DeviceIndex, params: SearchParams, qd, top_scores,
+                top_ids):
+    """One neighbor-expansion round (reference: Knn::refine,
+    inverted_index.rs:551-593)."""
+    B, k = top_ids.shape
+    n_docs = index.n_docs
+    n_knn = min(params.n_knn, index.knn.shape[1])
+    safe_top = jnp.minimum(jnp.maximum(top_ids, 0), n_docs - 1)
+    neigh = index.knn[safe_top][..., :n_knn].reshape(B, k * n_knn)
+    neigh_valid = (
+        jnp.isfinite(top_scores)[:, :, None]
+        .repeat(n_knn, axis=2)
+        .reshape(B, k * n_knn)
+    ) & (neigh >= 0)
+    neigh = jnp.where(neigh_valid, neigh, n_docs)
+    nscores = _exact_scores(index, qd, jnp.minimum(neigh, n_docs - 1))
+    nscores = jnp.where(neigh_valid, nscores, -jnp.inf)
+    all_scores = jnp.concatenate([top_scores, nscores], axis=1)
+    all_ids = jnp.concatenate([top_ids, neigh], axis=1)
+    all_scores, all_ids = _dedup_by_id(all_scores, all_ids, n_docs)
+    out_scores, pos = jax.lax.top_k(all_scores, k)
+    out_ids = jnp.take_along_axis(all_ids, pos, axis=1)
+    return out_scores, out_ids
+
+
+# ---------------------------------------------------------------------------
 # The search program
 # ---------------------------------------------------------------------------
 
@@ -174,7 +368,6 @@ def _search_impl(
 
     valid_q = q_comps != PAD_COMPONENT
     q_vals = jnp.where(valid_q, q_vals, 0.0)
-    qd = densify_query_batch(q_comps, q_vals, dim)
 
     # ---- 1. select top-query_cut terms (inverted_index.rs:187-190) ----
     top_vals, top_pos = jax.lax.top_k(q_vals, QC)
@@ -183,6 +376,14 @@ def _search_impl(
         list_ids < jnp.int32(index.list_block_start.shape[0])
     )
     safe_lists = jnp.where(sel_valid, list_ids, 0).astype(jnp.int32)
+
+    if params.doc_mode == "tiles":
+        return _tiles_search(
+            index, params, q_comps, q_vals, safe_lists, sel_valid,
+            heap_factor,
+        )
+
+    qd = densify_query_batch(q_comps, q_vals, dim)
 
     # ---- 2. block windows of the selected lists ----
     lbs = index.list_block_start[safe_lists]  # [B, QC]
@@ -319,22 +520,9 @@ def _search_impl(
 
     # ---- 9. k-NN refinement (inverted_index.rs:551-593) ----
     if params.n_knn > 0 and index.knn is not None:
-        n_knn = min(params.n_knn, index.knn.shape[1])
-        safe_top = jnp.minimum(jnp.maximum(top_ids, 0), n_docs - 1)
-        neigh = index.knn[safe_top][..., :n_knn].reshape(B, k * n_knn)
-        neigh_valid = (
-            jnp.isfinite(top_scores)[:, :, None]
-            .repeat(n_knn, axis=2)
-            .reshape(B, k * n_knn)
-        ) & (neigh >= 0)
-        neigh = jnp.where(neigh_valid, neigh, n_docs)
-        nscores = _exact_scores(index, qd, jnp.minimum(neigh, n_docs - 1))
-        nscores = jnp.where(neigh_valid, nscores, -jnp.inf)
-        all_scores = jnp.concatenate([top_scores, nscores], axis=1)
-        all_ids = jnp.concatenate([top_ids, neigh], axis=1)
-        all_scores, all_ids = _dedup_by_id(all_scores, all_ids, n_docs)
-        top_scores, pos = jax.lax.top_k(all_scores, k)
-        top_ids = jnp.take_along_axis(all_ids, pos, axis=1)
+        top_scores, top_ids = _knn_refine(
+            index, params, qd, top_scores, top_ids
+        )
 
     top_ids = jnp.where(jnp.isfinite(top_scores), top_ids, -1)
     return top_scores, top_ids

@@ -69,6 +69,16 @@ class IndexArrays:
     dense_summary: Optional[np.ndarray] = None  # uint8 [n_blocks_pad, V]
     dense_scale: Optional[np.ndarray] = None  # f32 [n_blocks_pad]
 
+    # --- replicated block-aligned dense doc tiles (streaming doc scorer;
+    # no reference equivalent — trades memory for contiguous access so doc
+    # scoring is dynamic-slice + MXU instead of random row gathers) ---
+    doc_tiles: Optional[np.ndarray] = None  # uint8 [total_postings_pad, V]
+    doc_tile_scale: Optional[np.ndarray] = None  # f32 [total_postings_pad]
+    list_post_start: Optional[np.ndarray] = None  # int32 [n_lists]
+    list_len: Optional[np.ndarray] = None  # int32 [n_lists]
+    # local (within-list) block index of each posting occurrence
+    posting_block_local: Optional[np.ndarray] = None  # int32 [total_postings_pad]
+
     # --- block summaries: int8 sketch (experimental ranking mode) ---
     block_sketch: Optional[np.ndarray] = None  # int8 [n_blocks_pad, ds]
     block_sketch_scale: Optional[np.ndarray] = None  # f32 [n_blocks_pad]
@@ -85,6 +95,7 @@ class IndexArrays:
     n_docs: int = 0
     max_blocks_per_list: int = 0
     max_block_len: int = 0
+    max_list_len: int = 0
     config: Optional[Configuration] = None
 
     # ------------------------------------------------------------------
@@ -122,14 +133,25 @@ class IndexArrays:
             + nb(self.block_sketch)
             + nb(self.block_sketch_scale)
         )
+        doc_tiles = (
+            nb(self.doc_tiles)
+            + nb(self.doc_tile_scale)
+            + nb(self.list_post_start)
+            + nb(self.list_len)
+            + nb(self.posting_block_local)
+        )
         sketches = nb(self.doc_sketch) + nb(self.doc_sketch_scale)
         knn = nb(self.knn)
-        total = forward + postings + offsets + summaries + sketches + knn
+        total = (
+            forward + postings + offsets + summaries + sketches + knn
+            + doc_tiles
+        )
         return {
             "forward_index": forward,
             "packed_postings": postings,
             "block_offsets": offsets,
             "summaries": summaries,
+            "doc_tiles": doc_tiles,
             "doc_sketches": sketches,
             "knn": knn,
             "total": total,
@@ -144,6 +166,7 @@ class IndexArrays:
         print(f"\t  packed_postings: {rep['packed_postings']} Bytes")
         print(f"\t  block_offsets: {rep['block_offsets']} Bytes")
         print(f"\t  summaries: {rep['summaries']} Bytes")
+        print(f"\tDoc tiles: {rep['doc_tiles']} Bytes")
         print(f"\tDoc sketches: {rep['doc_sketches']} Bytes")
         print(f"\tKnn: {rep['knn']} Bytes")
         print(f"\tTotal: {rep['total']} Bytes")
@@ -167,6 +190,11 @@ class IndexArrays:
         "list_vocab",
         "dense_summary",
         "dense_scale",
+        "doc_tiles",
+        "doc_tile_scale",
+        "list_post_start",
+        "list_len",
+        "posting_block_local",
         "block_sketch",
         "block_sketch_scale",
         "doc_sketch",
@@ -193,6 +221,7 @@ class IndexArrays:
             "n_docs": self.n_docs,
             "max_blocks_per_list": self.max_blocks_per_list,
             "max_block_len": self.max_block_len,
+            "max_list_len": self.max_list_len,
             "config": self.config.to_dict() if self.config else None,
         }
         arrays["__meta__"] = np.frombuffer(
@@ -228,6 +257,7 @@ class IndexArrays:
             n_docs=meta["n_docs"],
             max_blocks_per_list=meta["max_blocks_per_list"],
             max_block_len=meta["max_block_len"],
+            max_list_len=meta.get("max_list_len", 0),
             config=cfg,
             **kwargs,
         )
@@ -249,6 +279,7 @@ class IndexArrays:
             n_docs=self.n_docs,
             max_blocks_per_list=self.max_blocks_per_list,
             max_block_len=self.max_block_len,
+            max_list_len=self.max_list_len,
         )
 
 
@@ -276,6 +307,11 @@ class DeviceIndex:
     list_vocab: object
     dense_summary: object
     dense_scale: object
+    doc_tiles: object
+    doc_tile_scale: object
+    list_post_start: object
+    list_len: object
+    posting_block_local: object
     block_sketch: object
     block_sketch_scale: object
     doc_sketch: object
@@ -285,6 +321,7 @@ class DeviceIndex:
     n_docs: int = 0
     max_blocks_per_list: int = 0
     max_block_len: int = 0
+    max_list_len: int = 0
 
 
 def _register_device_index():
@@ -294,12 +331,14 @@ def _register_device_index():
         f.name
         for f in dataclasses.fields(DeviceIndex)
         if f.name
-        not in ("dim", "n_docs", "max_blocks_per_list", "max_block_len")
+        not in ("dim", "n_docs", "max_blocks_per_list", "max_block_len",
+                "max_list_len")
     ]
 
     def flatten(d: DeviceIndex):
         children = tuple(getattr(d, f) for f in array_fields)
-        aux = (d.dim, d.n_docs, d.max_blocks_per_list, d.max_block_len)
+        aux = (d.dim, d.n_docs, d.max_blocks_per_list, d.max_block_len,
+               d.max_list_len)
         return children, aux
 
     def unflatten(aux, children):
@@ -310,6 +349,7 @@ def _register_device_index():
             n_docs=aux[1],
             max_blocks_per_list=aux[2],
             max_block_len=aux[3],
+            max_list_len=aux[4],
         )
 
     jax.tree_util.register_pytree_node(DeviceIndex, flatten, unflatten)
