@@ -22,8 +22,11 @@ import numpy as np
 
 from ..config import (
     Configuration,
+    EnergyPreservingSummarization,
     FixedSizeBlocking,
+    FixedSizeSummarization,
     RandomKmeansBlocking,
+    RandomKmeansInvertedIndexApprox,
 )
 from ..data.sparse import PAD_COMPONENT, CsrDataset
 from ..ops.sketch import quantize_sketch_int8, sketch_csr_np
@@ -65,6 +68,8 @@ def build_index(
     store_summaries: bool = True,
     store_sketches: bool = True,
     store_doc_tiles: bool = True,
+    native: bool = True,
+    num_threads: int = 0,
     progress: bool = False,
 ) -> IndexArrays:
     """Build the full index from a CSR dataset.
@@ -72,6 +77,13 @@ def build_index(
     `value_dtype` in {"f32", "f16", "bf16", "u8"} selects the forward-index
     value encoding ("u8" is the DotVByte-equivalent compressed variant,
     reference: src/pylib/dotvbyte.rs).
+
+    With `native=True` (default) the per-list pipeline runs in the C++
+    build core (seismic_tpu/native), threaded over lists — the counterpart
+    of the reference's Rust core + rayon fan-out. It covers the default
+    strategies (random-kmeans-approx / fixed-size blocking, energy /
+    fixed summarization); other combinations, or a missing toolchain,
+    fall back to the pure-NumPy pipeline automatically.
     """
     config = config or Configuration()
     layout = config.layout
@@ -85,6 +97,16 @@ def build_index(
         )
         print(f"Number of posting lists: {table.n_lists}")
         print(f"Avg posting list length: {lens.mean():.2f}")
+
+    if native and _native_supported(config):
+        arrays = _build_native(
+            dataset, config, table, value_dtype, store_summaries,
+            store_sketches, store_doc_tiles, num_threads, progress,
+        )
+        if arrays is not None:
+            return arrays
+        if progress:
+            print("native build core unavailable; using NumPy pipeline")
 
     t1 = time.time()
     n_lists = table.n_lists
@@ -179,17 +201,18 @@ def build_index(
             summary_codes[i, : len(cc)] = codes
 
     # --- per-list posting ranges (doc-tile addressing) --------------------
-    list_post_start = np.zeros(n_lists, dtype=np.int32)
     list_len = np.zeros(n_lists, dtype=np.int32)
     posting_block_local = np.zeros(len(postings), dtype=np.int32)
     for list_id in range(n_lists):
         s = int(list_block_start[list_id])
         n = int(list_n_blocks[list_id])
-        list_post_start[list_id] = block_start_arr[s] if n else 0
         list_len[list_id] = int(block_len_arr[s : s + n].sum())
         for j in range(n):
             bs, bl = int(block_start_arr[s + j]), int(block_len_arr[s + j])
             posting_block_local[bs : bs + bl] = j
+    list_post_start = np.zeros(n_lists, dtype=np.int32)
+    if n_lists > 1:
+        np.cumsum(list_len[:-1], out=list_post_start[1:])
     max_list_len = int(list_len.max()) if n_lists else 0
 
     # --- per-list local-vocab dense summaries + doc tiles (MXU fast path) -
@@ -279,6 +302,207 @@ def build_index(
             [posting_block_local,
              np.zeros(max_list_len, dtype=np.int32)]
         ),
+        block_sketch=block_sketch,
+        block_sketch_scale=block_sketch_scale,
+        doc_sketch=doc_sketch,
+        doc_sketch_scale=doc_sketch_scale,
+        knn=None,
+        dim=dataset.dim,
+        n_docs=len(dataset),
+        max_blocks_per_list=max_blocks_per_list,
+        max_block_len=max_block_len,
+        max_list_len=max_list_len,
+        config=config,
+    )
+
+
+def _native_supported(config: Configuration) -> bool:
+    b = config.blocking
+    if isinstance(b, FixedSizeBlocking):
+        blocking_ok = True
+    elif isinstance(b, RandomKmeansBlocking):
+        blocking_ok = isinstance(
+            b.clustering_algorithm, RandomKmeansInvertedIndexApprox
+        )
+    else:
+        blocking_ok = False
+    summ_ok = isinstance(
+        config.summarization,
+        (EnergyPreservingSummarization, FixedSizeSummarization),
+    )
+    return blocking_ok and summ_ok
+
+
+def _build_native(
+    dataset: CsrDataset,
+    config: Configuration,
+    table,
+    value_dtype: str,
+    store_summaries: bool,
+    store_sketches: bool,
+    store_doc_tiles: bool,
+    num_threads: int,
+    progress: bool,
+):
+    """Run the per-list pipeline in the C++ core and assemble IndexArrays."""
+    from ..native import native_build_lists
+
+    layout = config.layout
+    b = config.blocking
+    s = config.summarization
+    t1 = time.time()
+    res = native_build_lists(
+        dataset.offsets,
+        dataset.components,
+        dataset.values.astype(np.float32),
+        dataset.dim,
+        table.offsets,
+        table.doc_ids,
+        centroid_fraction=(
+            b.centroid_fraction if isinstance(b, RandomKmeansBlocking) else 0.1
+        ),
+        min_cluster_size=(
+            b.min_cluster_size if isinstance(b, RandomKmeansBlocking) else 2
+        ),
+        doc_cut=(
+            b.clustering_algorithm.doc_cut
+            if isinstance(b, RandomKmeansBlocking)
+            else 15
+        ),
+        max_block_len=layout.max_block_len,
+        summary_energy=(
+            s.summary_energy
+            if isinstance(s, EnergyPreservingSummarization)
+            else 0.0
+        ),
+        n_summary_components=(
+            s.n_components if isinstance(s, FixedSizeSummarization) else -1
+        ),
+        max_summary_nnz=layout.rounded_summary_nnz(),
+        v_cap=layout.summary_vocab_cap if layout.summary_vocab_cap > 0 else 1,
+        seed=config.seed,
+        fixed_block_size=(
+            b.block_size if isinstance(b, FixedSizeBlocking) else 0
+        ),
+        build_tiles=store_doc_tiles and layout.summary_vocab_cap > 0,
+        n_threads=num_threads,
+    )
+    if res is None:
+        return None
+    if progress:
+        print(f"Building summaries (native): {time.time() - t1:.1f} secs")
+
+    n_lists = table.n_lists
+    max_block_len = layout.max_block_len
+    n_blocks = len(res["block_len"])
+    list_n_blocks = res["list_n_blocks"]
+    max_blocks_per_list = int(list_n_blocks.max()) if n_lists else 0
+    pad_rows = max_blocks_per_list + 1
+    nbp = n_blocks + pad_rows
+    list_len = res["list_len"]
+    max_list_len = int(list_len.max()) if n_lists else 0
+
+    list_block_start = np.zeros(n_lists, dtype=np.int32)
+    np.cumsum(list_n_blocks[:-1], out=list_block_start[1:])
+    list_post_start = np.zeros(n_lists, dtype=np.int32)
+    np.cumsum(list_len[:-1], out=list_post_start[1:])
+
+    block_start_arr = np.zeros(nbp, dtype=np.int32)
+    block_len_arr = np.zeros(nbp, dtype=np.int32)
+    block_len_arr[:n_blocks] = res["block_len"]
+    np.cumsum(res["block_len"][:-1], out=block_start_arr[1:n_blocks])
+
+    postings = np.concatenate(
+        [res["postings"], np.zeros(max_block_len, dtype=np.int32)]
+    )
+    posting_block_local = np.concatenate(
+        [
+            res["posting_block_local"],
+            np.zeros(max_block_len + max_list_len, dtype=np.int32),
+        ]
+    )
+
+    # padded summary tiles
+    s_pad = layout.rounded_summary_nnz()
+    summary_comps = summary_codes = None
+    summary_min = np.zeros(nbp, dtype=np.float32)
+    summary_quant = np.zeros(nbp, dtype=np.float32)
+    summary_min[:n_blocks] = res["summary_min"]
+    summary_quant[:n_blocks] = res["summary_quant"]
+    if store_summaries:
+        summary_comps = np.full((nbp, s_pad), PAD_COMPONENT, dtype=np.int32)
+        summary_codes = np.zeros((nbp, s_pad), dtype=np.uint8)
+        slen = res["summary_len"]
+        soff = np.zeros(n_blocks + 1, dtype=np.int64)
+        np.cumsum(slen, out=soff[1:])
+        # vectorized ragged scatter into the padded tiles
+        rows = np.repeat(np.arange(n_blocks, dtype=np.int64), slen)
+        cols = np.arange(int(soff[-1]), dtype=np.int64) - np.repeat(
+            soff[:-1], slen
+        )
+        summary_comps[rows, cols] = res["summary_comps"]
+        summary_codes[rows, cols] = res["summary_codes"]
+
+    # dense structures
+    dense_summary = np.zeros((nbp, res["dense_summary"].shape[1]), np.uint8)
+    dense_summary[:n_blocks] = res["dense_summary"]
+    dense_scale = np.zeros(nbp, dtype=np.float32)
+    dense_scale[:n_blocks] = res["dense_scale"]
+    v_cap = res["list_vocab"].shape[1]
+    doc_tiles = doc_tile_scale = None
+    if store_doc_tiles and len(res["doc_tiles"]):
+        pad = max_block_len + max_list_len
+        doc_tiles = np.concatenate(
+            [res["doc_tiles"], np.zeros((pad, v_cap), np.uint8)]
+        )
+        doc_tile_scale = np.concatenate(
+            [res["doc_tile_scale"], np.zeros(pad, np.float32)]
+        )
+
+    # forward tiles / sketches (shared with the NumPy path)
+    max_nnz = int(dataset.row_lengths().max()) if len(dataset) else 1
+    if layout.max_doc_nnz > 0:
+        width = layout.rounded_doc_nnz()
+    else:
+        width = max(layout.lane, _round_up(max_nnz, layout.lane))
+    fwd_comps, fwd_vals_f32 = dataset.padded_tiles(width)
+    fwd_vals, fwd_val_min, fwd_val_step = _encode_values(
+        fwd_vals_f32, fwd_comps, value_dtype
+    )
+    doc_sketch = doc_sketch_scale = None
+    block_sketch = block_sketch_scale = None
+    if store_sketches and layout.sketch_dim > 0:
+        dsk = sketch_csr_np(
+            dataset.offsets,
+            dataset.components,
+            dataset.values.astype(np.float32),
+            layout.sketch_dim,
+            layout.sketch_seed,
+        )
+        doc_sketch, doc_sketch_scale = quantize_sketch_int8(dsk)
+
+    return IndexArrays(
+        fwd_comps=fwd_comps,
+        fwd_vals=fwd_vals,
+        fwd_val_min=fwd_val_min,
+        fwd_val_step=fwd_val_step,
+        postings=postings,
+        block_start=block_start_arr,
+        block_len=block_len_arr,
+        list_block_start=list_block_start,
+        list_n_blocks=list_n_blocks,
+        summary_comps=summary_comps,
+        summary_codes=summary_codes,
+        summary_min=summary_min,
+        summary_quant=summary_quant,
+        list_vocab=res["list_vocab"],
+        dense_summary=dense_summary,
+        dense_scale=dense_scale,
+        doc_tiles=doc_tiles,
+        doc_tile_scale=doc_tile_scale,
+        list_post_start=list_post_start,
+        list_len=list_len,
+        posting_block_local=posting_block_local,
         block_sketch=block_sketch,
         block_sketch_scale=block_sketch_scale,
         doc_sketch=doc_sketch,

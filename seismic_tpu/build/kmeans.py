@@ -34,6 +34,29 @@ from ..data.sparse import CsrDataset
 
 NEG_INF = np.float32(-np.inf)
 
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint64) + _GOLD
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def select_centroid_positions(seed: int, list_id: int, n: int, m: int):
+    """Deterministic pseudo-random choice of m positions out of n: the m
+    smallest splitmix64 hashes, ascending. Bit-identical to the native
+    build core (native/build_core.cpp) so both pipelines pick the same
+    centroids."""
+    i = np.arange(n, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        list_key = _GOLD * np.uint64(list_id + 1)  # intentional wraparound
+    key = np.uint64(seed) ^ list_key ^ i
+    h = _splitmix64(key)
+    pos = np.argsort(h, kind="stable")[:m]
+    return np.sort(pos)
+
 
 def _doc_entries(dataset: CsrDataset, doc_ids: np.ndarray):
     """Flat (local_doc_idx, comp, value) entries for the given docs
@@ -162,8 +185,8 @@ def kmeans_blocking(
         raise ValueError(
             "number of centroids cannot exceed 65535; decrease centroid_fraction"
         )
-    rng = np.random.default_rng([seed, list_id])
-    centroid_doc_ids = rng.choice(doc_ids, size=n_centroids, replace=False)
+    pos = select_centroid_positions(seed, list_id, n, n_centroids)
+    centroid_doc_ids = np.asarray(doc_ids)[pos]
 
     d_local, d_comps, d_vals = _doc_entries(dataset, doc_ids)
     c_comps, c_cent, c_vals = _centroid_entries(dataset, centroid_doc_ids)
