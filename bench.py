@@ -161,7 +161,7 @@ def main():
         for i in range(n_batches)
     ]
 
-    chosen = None
+    rungs = []
     for query_cut, hf, full_lists, budget in LADDER:
         params = SearchParams(
             k=K, query_cut=query_cut, block_budget=budget,
@@ -178,11 +178,14 @@ def main():
         rec = recall_at_k(np.concatenate(outs), gt_ids)
         log(f"qc={query_cut} hf={hf} full={full_lists} budget={budget}: "
             f"recall@10={rec:.4f}")
-        chosen = (params, hf, rec)
+        rungs.append((params, hf, rec))
         if rec >= TARGET_RECALL:
             break
 
-    params, hf, rec = chosen
+    # cheapest rung achieving >= min(target, best - 0.003)
+    best = max(r[2] for r in rungs)
+    need = min(TARGET_RECALL, best - 0.003)
+    params, hf, rec = next(r for r in rungs if r[2] >= need)
     # ---- timed runs ----
     hf_dev = jnp.float32(hf)
 

@@ -217,7 +217,7 @@ def build_index(
 
     # --- per-list local-vocab dense summaries + doc tiles (MXU fast path) -
     list_vocab = dense_summary = dense_scale = None
-    doc_tiles = doc_tile_scale = None
+    doc_tiles = doc_tile_scale = ovf_comps = ovf_vals = None
     if layout.summary_vocab_cap > 0:
         (
             list_vocab,
@@ -225,6 +225,8 @@ def build_index(
             dense_scale,
             doc_tiles,
             doc_tile_scale,
+            ovf_comps,
+            ovf_vals,
         ) = _build_dense_structures(
             dataset,
             summaries_per_block,
@@ -237,6 +239,7 @@ def build_index(
             layout.summary_vocab_cap,
             max_list_len,
             store_doc_tiles=store_doc_tiles,
+            overflow=layout.tile_overflow,
         )
 
     # --- block sketches (experimental ranking mode) -----------------------
@@ -296,6 +299,8 @@ def build_index(
         dense_scale=dense_scale,
         doc_tiles=doc_tiles,
         doc_tile_scale=doc_tile_scale,
+        tile_ovf_comps=ovf_comps,
+        tile_ovf_vals=ovf_vals,
         list_post_start=list_post_start,
         list_len=list_len,
         posting_block_local=np.concatenate(
@@ -385,6 +390,7 @@ def _build_native(
             b.block_size if isinstance(b, FixedSizeBlocking) else 0
         ),
         build_tiles=store_doc_tiles and layout.summary_vocab_cap > 0,
+        overflow=layout.tile_overflow,
         n_threads=num_threads,
     )
     if res is None:
@@ -449,7 +455,7 @@ def _build_native(
     dense_scale = np.zeros(nbp, dtype=np.float32)
     dense_scale[:n_blocks] = res["dense_scale"]
     v_cap = res["list_vocab"].shape[1]
-    doc_tiles = doc_tile_scale = None
+    doc_tiles = doc_tile_scale = ovf_comps = ovf_vals = None
     if store_doc_tiles and len(res["doc_tiles"]):
         pad = max_block_len + max_list_len
         doc_tiles = np.concatenate(
@@ -458,6 +464,15 @@ def _build_native(
         doc_tile_scale = np.concatenate(
             [res["doc_tile_scale"], np.zeros(pad, np.float32)]
         )
+        if layout.tile_overflow > 0:
+            o = layout.tile_overflow
+            ovf_comps = np.concatenate(
+                [res["ovf_comps"],
+                 np.full((pad, o), PAD_COMPONENT, np.int32)]
+            )
+            ovf_vals = np.concatenate(
+                [res["ovf_vals"], np.zeros((pad, o), np.float16)]
+            )
 
     # forward tiles / sketches (shared with the NumPy path)
     max_nnz = int(dataset.row_lengths().max()) if len(dataset) else 1
@@ -500,6 +515,8 @@ def _build_native(
         dense_scale=dense_scale,
         doc_tiles=doc_tiles,
         doc_tile_scale=doc_tile_scale,
+        tile_ovf_comps=ovf_comps,
+        tile_ovf_vals=ovf_vals,
         list_post_start=list_post_start,
         list_len=list_len,
         posting_block_local=posting_block_local,
@@ -539,6 +556,7 @@ def _build_dense_structures(
     v_cap: int,
     max_list_len: int,
     store_doc_tiles: bool = True,
+    overflow: int = 0,
 ):
     """Per-list local-vocab dense structures for the MXU fast paths.
 
@@ -563,10 +581,16 @@ def _build_dense_structures(
     dense_summary = np.zeros((nbp, v_cap), dtype=np.uint8)
     dense_scale = np.zeros(nbp, dtype=np.float32)
     doc_tiles = doc_tile_scale = None
+    ovf_comps = ovf_vals = None
     if store_doc_tiles:
         n_post_pad = len(postings) + max_list_len
         doc_tiles = np.zeros((n_post_pad, v_cap), dtype=np.uint8)
         doc_tile_scale = np.zeros(n_post_pad, dtype=np.float32)
+        if overflow > 0:
+            ovf_comps = np.full(
+                (n_post_pad, overflow), PAD_COMPONENT, dtype=np.int32
+            )
+            ovf_vals = np.zeros((n_post_pad, overflow), dtype=np.float16)
 
     for list_id in range(n_lists):
         ln = int(list_len[list_id])
@@ -599,6 +623,22 @@ def _build_dense_structures(
             codes, scale = _quantize_rows_u8(rows)
             doc_tiles[ps : ps + ln] = codes
             doc_tile_scale[ps : ps + ln] = scale
+            if overflow > 0 and (~hit).any():
+                # top-`overflow` out-of-vocab entries per occurrence
+                ml, mc, mv = local[~hit], comps[~hit], vals[~hit]
+                order = np.lexsort((-mv, ml))
+                ml, mc, mv = ml[order], mc[order], mv[order]
+                first = np.ones(len(ml), dtype=bool)
+                first[1:] = ml[1:] != ml[:-1]
+                starts = np.zeros(len(ml), dtype=np.int64)
+                starts[first] = np.arange(len(ml), dtype=np.int64)[first]
+                starts = np.maximum.accumulate(starts)
+                rank = np.arange(len(ml), dtype=np.int64) - starts
+                keep_m = rank < overflow
+                ovf_comps[ps + ml[keep_m], rank[keep_m]] = mc[keep_m]
+                ovf_vals[ps + ml[keep_m], rank[keep_m]] = mv[keep_m].astype(
+                    np.float16
+                )
 
         # ---- dense summary rows over the same vocab ----
         s = int(list_block_start[list_id])
@@ -615,7 +655,8 @@ def _build_dense_structures(
         dense_summary[s : s + n] = codes
         dense_scale[s : s + n] = scale
 
-    return list_vocab, dense_summary, dense_scale, doc_tiles, doc_tile_scale
+    return (list_vocab, dense_summary, dense_scale, doc_tiles,
+            doc_tile_scale, ovf_comps, ovf_vals)
 
 
 def _summary_csr(summaries):

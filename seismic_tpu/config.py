@@ -165,6 +165,10 @@ class TpuLayout:
     # keep the top `summary_vocab_cap` by max value. 0 disables the dense
     # layout.
     summary_vocab_cap: int = 512
+    # Out-of-vocab overflow entries stored per posting occurrence in the
+    # doc-tile fast path (0 disables; recovers dot mass the local vocab
+    # truncates).
+    tile_overflow: int = 16
     # CountSketch width for block/doc sketches (0 disables sketches).
     sketch_dim: int = 128
     # Seed for the deterministic CountSketch hash.

@@ -178,6 +178,92 @@ def profile(arrays, q_comps, q_vals, query_cut=20, block_budget=256,
     return results
 
 
+def profile_tiles(arrays, q_comps, q_vals, query_cut=10, score_cut=64,
+                  k=10, reps=5):
+    """Stage timings for the tiles (streaming) search mode."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.sparse import PAD_COMPONENT
+    from ..search import engine as E
+
+    index = arrays.to_device()
+    B, Q = q_comps.shape
+    QC = min(query_cut, Q)
+    V = index.list_vocab.shape[1]
+    LL = max(index.max_list_len, 1)
+    n_docs = index.n_docs
+    results = {}
+    q_comps = jnp.asarray(q_comps, jnp.int32)
+    q_vals = jnp.asarray(q_vals, jnp.float32)
+
+    @jax.jit
+    def s1(index, q_comps, q_vals):
+        valid = q_comps != PAD_COMPONENT
+        qv = jnp.where(valid, q_vals, 0.0)
+        tv, tp = jax.lax.top_k(qv, QC)
+        lists = jnp.take_along_axis(q_comps, tp, axis=1)
+        selv = jnp.take_along_axis(valid, tp, axis=1)
+        return jnp.where(selv, lists, 0).astype(jnp.int32), selv, qv
+
+    t, (safe_lists, selv, qv) = _timeit(s1, index, q_comps, q_vals, reps=reps)
+    results["1_term_select"] = t
+
+    @jax.jit
+    def s2(index, safe_lists):
+        return index.list_vocab[safe_lists]
+
+    t, vocab = _timeit(s2, index, safe_lists, reps=reps)
+    results["2_vocab_gather"] = t
+
+    @jax.jit
+    def s3(vocab, q_comps, qv):
+        return E._qloc_compare(vocab, q_comps, qv, score_cut)
+
+    t, qloc = _timeit(s3, vocab, q_comps, qv, reps=reps)
+    results["3_qloc_compare"] = t
+
+    @jax.jit
+    def s4(index, safe_lists, qloc):
+        lps = index.list_post_start[safe_lists]
+
+        def one(start, qvv):
+            tile = jax.lax.dynamic_slice(index.doc_tiles, (start, 0), (LL, V))
+            scale = jax.lax.dynamic_slice(
+                index.doc_tile_scale, (start,), (LL,))
+            return jnp.dot(tile.astype(jnp.float32), qvv,
+                           preferred_element_type=jnp.float32) * scale
+
+        return jax.vmap(jax.vmap(one))(lps, qloc), lps
+
+    t, (scores, lps) = _timeit(s4, index, safe_lists, qloc, reps=reps)
+    results["4_tile_slice_matmul"] = t
+
+    pool = max(8 * k, 64)
+
+    @jax.jit
+    def s5(index, scores, lps, selv):
+        lln = index.list_len[safe_lists]
+        mask = (jnp.arange(LL, dtype=jnp.int32) < lln[..., None]) \
+            & selv[..., None]
+        flat = jnp.where(mask, scores, -jnp.inf).reshape(B, QC * LL)
+        ts, pos = jax.lax.top_k(flat, pool)
+        qslot = pos // LL
+        off = pos % LL
+        pidx = jnp.take_along_axis(lps, qslot, axis=1) + off
+        ids = jnp.take(index.postings,
+                       jnp.minimum(pidx, index.postings.shape[0] - 1))
+        ids = jnp.where(jnp.isfinite(ts), ids, n_docs)
+        ds_, di_ = E._dedup_by_id(ts, ids, n_docs)
+        fs, fp = jax.lax.top_k(ds_, k)
+        return fs, jnp.take_along_axis(di_, fp, axis=1)
+
+    t, _ = _timeit(s5, index, scores, lps, selv, reps=reps)
+    results["5_topk_ids_dedup"] = t
+    results["_meta"] = dict(B=B, QC=QC, V=V, LL=LL, pool=pool)
+    return results
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--index", required=True)
@@ -186,6 +272,8 @@ def main(argv=None):
     p.add_argument("--block-budget", type=int, default=256)
     p.add_argument("--n-queries", type=int, default=256)
     p.add_argument("--dim", type=int, default=30522)
+    p.add_argument("--tiles", action="store_true",
+                   help="profile the tiles search mode")
     args = p.parse_args(argv)
 
     from ..harness.synth import synth_queries
@@ -195,8 +283,12 @@ def main(argv=None):
     arrays = IndexArrays.load(args.index)
     qc, qv = synth_queries(args.batch, dim=args.dim, seed=11)
     q_comps, q_vals = pad_queries(qc, qv, 64)
-    res = profile(arrays, q_comps, q_vals, query_cut=args.query_cut,
-                  block_budget=args.block_budget)
+    if args.tiles:
+        res = profile_tiles(arrays, q_comps, q_vals,
+                            query_cut=args.query_cut)
+    else:
+        res = profile(arrays, q_comps, q_vals, query_cut=args.query_cut,
+                      block_budget=args.block_budget)
     meta = res.pop("_meta")
     print("meta:", meta)
     total = 0.0

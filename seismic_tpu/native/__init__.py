@@ -76,12 +76,12 @@ def get_lib():
         lib.seismic_build.argtypes = [
             p, p, p, i64, i64,  # dataset
             p, p, i64,  # posting table
-            f32, i32, i32, i32, f32, i32, i32, i32, u64, i32, i32, i32,
+            f32, i32, i32, i32, f32, i32, i32, i32, u64, i32, i32, i32, i32,
         ]
         lib.seismic_get_sizes.restype = None
         lib.seismic_get_sizes.argtypes = [p, p, p, p]
         lib.seismic_copy_out.restype = None
-        lib.seismic_copy_out.argtypes = [p] + [p] * 15
+        lib.seismic_copy_out.argtypes = [p] + [p] * 17
         lib.seismic_free.restype = None
         lib.seismic_free.argtypes = [p]
         _lib = lib
@@ -111,6 +111,7 @@ def native_build_lists(
     seed: int,
     fixed_block_size: int = 0,
     build_tiles: bool = True,
+    overflow: int = 0,
     n_threads: int = 0,
 ):
     """Run the native per-list build; returns a dict of flat arrays
@@ -141,6 +142,7 @@ def native_build_lists(
         ctypes.c_uint64(seed),
         ctypes.c_int32(fixed_block_size),
         ctypes.c_int32(1 if build_tiles else 0),
+        ctypes.c_int32(overflow),
         ctypes.c_int32(n_threads),
     )
     try:
@@ -170,9 +172,14 @@ def native_build_lists(
         if build_tiles:
             out["doc_tiles"] = np.empty((total_postings, v_cap), np.uint8)
             out["doc_tile_scale"] = np.empty(total_postings, np.float32)
+            o = max(overflow, 0)
+            out["ovf_comps"] = np.empty((total_postings, o), np.int32)
+            out["ovf_vals"] = np.empty((total_postings, o), np.float16)
         else:
             out["doc_tiles"] = np.empty((0, v_cap), np.uint8)
             out["doc_tile_scale"] = np.empty(0, np.float32)
+            out["ovf_comps"] = np.empty((0, 0), np.int32)
+            out["ovf_vals"] = np.empty((0, 0), np.float16)
         lib.seismic_copy_out(
             handle,
             _ptr(out["postings"]),
@@ -190,6 +197,8 @@ def native_build_lists(
             _ptr(out["dense_scale"]),
             _ptr(out["doc_tiles"]),
             _ptr(out["doc_tile_scale"]),
+            _ptr(out["ovf_comps"]),
+            _ptr(out["ovf_vals"]),
         )
         return out
     finally:

@@ -49,6 +49,7 @@ struct Config {
   u64 seed;
   i32 fixed_block_size;    // > 0 -> fixed-size blocking
   i32 build_tiles;
+  i32 overflow;            // out-of-vocab entries kept per posting
   i32 n_threads;
 };
 
@@ -75,7 +76,24 @@ struct ListResult {
   std::vector<float> dense_scale;
   std::vector<u8> doc_tiles;            // [list_len, v_cap]
   std::vector<float> doc_tile_scale;
+  std::vector<i32> ovf_comps;           // [list_len, overflow]
+  std::vector<uint16_t> ovf_vals;       // f16 bits [list_len, overflow]
 };
+
+// minimal f32 -> f16 (round-to-nearest-even via f32 bit tricks)
+inline uint16_t f32_to_f16(float f) {
+  uint32_t x;
+  std::memcpy(&x, &f, 4);
+  uint32_t sign = (x >> 16) & 0x8000u;
+  int32_t exp = static_cast<int32_t>((x >> 23) & 0xFF) - 127 + 15;
+  uint32_t mant = x & 0x7FFFFFu;
+  if (exp <= 0) return static_cast<uint16_t>(sign);  // flush tiny to 0
+  if (exp >= 31) return static_cast<uint16_t>(sign | 0x7C00u);
+  uint32_t half = sign | (static_cast<uint32_t>(exp) << 10) | (mant >> 13);
+  // round to nearest (ties up, close enough for stored impact scores)
+  if (mant & 0x1000u) half += 1;
+  return static_cast<uint16_t>(half);
+}
 
 struct Shard {
   // concatenated results of one thread's contiguous list range
@@ -425,18 +443,39 @@ void build_one_list(const Dataset& ds, const Config& cfg, i64 list_id,
   // ---- 4. doc tiles (dense u8 rows over the list vocab) ------------------
   if (cfg.build_tiles) {
     std::vector<u8> drow(cfg.v_cap);
+    std::vector<std::pair<float, i32>> missed;
     for (i64 i = 0; i < n; ++i) {
       i64 d = docs[i];
       std::fill(row.begin(), row.end(), 0.0f);
+      missed.clear();
       for (i64 j = ds.offsets[d]; j < ds.offsets[d + 1]; ++j) {
         auto it = std::lower_bound(vocab.begin(), vocab.end(), ds.comps[j]);
         if (it != vocab.end() && *it == ds.comps[j]) {
           row[it - vocab.begin()] = ds.vals[j];
+        } else if (cfg.overflow > 0) {
+          missed.emplace_back(ds.vals[j], ds.comps[j]);
         }
       }
       float scale = quantize_row_u8(row.data(), cfg.v_cap, drow.data());
       out.doc_tile_scale.push_back(scale);
       out.doc_tiles.insert(out.doc_tiles.end(), drow.begin(), drow.end());
+      if (cfg.overflow > 0) {
+        // top-`overflow` out-of-vocab entries by value
+        i64 keep = std::min<i64>(cfg.overflow, missed.size());
+        std::partial_sort(missed.begin(), missed.begin() + keep,
+                          missed.end(),
+                          [](const auto& a, const auto& b) {
+                            return a.first > b.first;
+                          });
+        for (i64 t = 0; t < keep; ++t) {
+          out.ovf_comps.push_back(missed[t].second);
+          out.ovf_vals.push_back(f32_to_f16(missed[t].first));
+        }
+        for (i64 t = keep; t < cfg.overflow; ++t) {
+          out.ovf_comps.push_back(kPadComponent);
+          out.ovf_vals.push_back(0);
+        }
+      }
     }
   }
 }
@@ -453,6 +492,7 @@ struct BuildHandle {
   i64 total_summary_nnz = 0;
   i32 v_cap = 0;
   i32 build_tiles = 0;
+  i32 overflow = 0;
 };
 
 }  // namespace
@@ -466,16 +506,17 @@ void* seismic_build(
     float centroid_fraction, i32 min_cluster_size, i32 doc_cut,
     i32 max_block_len, float summary_energy, i32 n_summary_components,
     i32 max_summary_nnz, i32 v_cap, u64 seed, i32 fixed_block_size,
-    i32 build_tiles, i32 n_threads) {
+    i32 build_tiles, i32 overflow, i32 n_threads) {
   Dataset ds{ds_offsets, ds_comps, ds_vals, n_docs, dim};
   Config cfg{centroid_fraction, min_cluster_size, doc_cut, max_block_len,
              summary_energy,    n_summary_components, max_summary_nnz,
              v_cap,             seed,             fixed_block_size,
-             build_tiles,       n_threads};
+             build_tiles,       overflow,         n_threads};
   auto* h = new BuildHandle();
   h->n_lists = n_lists;
   h->v_cap = v_cap;
   h->build_tiles = build_tiles;
+  h->overflow = overflow;
 
   i32 nt = n_threads > 0
                ? n_threads
@@ -527,7 +568,8 @@ void seismic_copy_out(
     i32* summary_comps, u8* summary_codes, i64* summary_len,
     float* summary_min, float* summary_quant,
     i32* list_vocab, u8* dense_summary, float* dense_scale,
-    u8* doc_tiles, float* doc_tile_scale) {
+    u8* doc_tiles, float* doc_tile_scale,
+    i32* ovf_comps, uint16_t* ovf_vals) {
   auto* h = static_cast<BuildHandle*>(handle);
   i64 p = 0, b = 0, s = 0, l = 0;
   for (auto& sh : h->shards) {
@@ -541,6 +583,12 @@ void seismic_copy_out(
                   a.doc_tiles.size());
       std::memcpy(doc_tile_scale + p, a.doc_tile_scale.data(),
                   a.doc_tile_scale.size() * sizeof(float));
+      if (h->overflow > 0) {
+        std::memcpy(ovf_comps + p * h->overflow, a.ovf_comps.data(),
+                    a.ovf_comps.size() * sizeof(i32));
+        std::memcpy(ovf_vals + p * h->overflow, a.ovf_vals.data(),
+                    a.ovf_vals.size() * sizeof(uint16_t));
+      }
     }
     p += static_cast<i64>(a.postings.size());
 

@@ -298,10 +298,30 @@ def _tiles_search(
     qc_slot = pos // LL
     off = pos % LL
     post_idx = jnp.take_along_axis(lps, qc_slot, axis=1) + off
-    cand_ids = jnp.take(
-        index.postings, jnp.minimum(post_idx, index.postings.shape[0] - 1)
-    )
+    safe_post = jnp.minimum(post_idx, index.postings.shape[0] - 1)
+    cand_ids = jnp.take(index.postings, safe_post)
     cand_ids = jnp.where(jnp.isfinite(top_scores), cand_ids, n_docs)
+
+    if index.tile_ovf_comps is not None and params.score_cut > 0:
+        # Re-rank the pool with each occurrence's out-of-vocab overflow
+        # entries (compare-intersect against the query's top terms): adds
+        # back the dot mass the local-vocab tile truncates.
+        sc = min(params.score_cut, q_vals.shape[1])
+        top_v, top_p = jax.lax.top_k(q_vals, sc)
+        top_c = jnp.take_along_axis(q_comps, top_p, axis=1)  # [B, sc]
+        oc = index.tile_ovf_comps[safe_post]  # [B, pool, O]
+        ov = index.tile_ovf_vals[safe_post].astype(jnp.float32)
+        eq = oc[..., None] == top_c[:, None, None, :]  # [B, pool, O, sc]
+        qmatch = jnp.einsum(
+            "bpos,bs->bpo",
+            eq.astype(jnp.float32),
+            top_v,
+            preferred_element_type=jnp.float32,
+        )
+        correction = jnp.sum(qmatch * ov, axis=-1)
+        top_scores = jnp.where(
+            jnp.isfinite(top_scores), top_scores + correction, top_scores
+        )
 
     dscores, dids = _dedup_by_id(top_scores, cand_ids, n_docs)
     out_scores, opos = jax.lax.top_k(dscores, k)

@@ -78,6 +78,11 @@ class IndexArrays:
     list_len: Optional[np.ndarray] = None  # int32 [n_lists]
     # local (within-list) block index of each posting occurrence
     posting_block_local: Optional[np.ndarray] = None  # int32 [total_postings_pad]
+    # per-posting out-of-vocab overflow entries (top-O components of the doc
+    # that fall outside the list vocab; recovers the dot-product mass the
+    # dense tile truncates)
+    tile_ovf_comps: Optional[np.ndarray] = None  # int32 [total_postings_pad, O]
+    tile_ovf_vals: Optional[np.ndarray] = None  # f16 [total_postings_pad, O]
 
     # --- block summaries: int8 sketch (experimental ranking mode) ---
     block_sketch: Optional[np.ndarray] = None  # int8 [n_blocks_pad, ds]
@@ -139,6 +144,8 @@ class IndexArrays:
             + nb(self.list_post_start)
             + nb(self.list_len)
             + nb(self.posting_block_local)
+            + nb(self.tile_ovf_comps)
+            + nb(self.tile_ovf_vals)
         )
         sketches = nb(self.doc_sketch) + nb(self.doc_sketch_scale)
         knn = nb(self.knn)
@@ -195,6 +202,8 @@ class IndexArrays:
         "list_post_start",
         "list_len",
         "posting_block_local",
+        "tile_ovf_comps",
+        "tile_ovf_vals",
         "block_sketch",
         "block_sketch_scale",
         "doc_sketch",
@@ -312,6 +321,8 @@ class DeviceIndex:
     list_post_start: object
     list_len: object
     posting_block_local: object
+    tile_ovf_comps: object
+    tile_ovf_vals: object
     block_sketch: object
     block_sketch_scale: object
     doc_sketch: object
