@@ -26,6 +26,24 @@ def _zipf_probs(dim: int, alpha: float, rng: np.random.Generator):
     return p[np.argsort(perm)]  # probability per component id
 
 
+def _topic_model(dim: int, n_topics: int, topic_nnz: int, alpha: float,
+                 seed: int):
+    """Latent topics: each topic is a set of components with affinities.
+    Gives the synthetic data the co-occurrence structure of real text
+    (SPLADE expansions cluster by topic), unlike i.i.d. Zipf sampling."""
+    rng = np.random.default_rng([seed, 7919])
+    probs = _zipf_probs(dim, alpha, rng)
+    topic_comps = np.empty((n_topics, topic_nnz), dtype=np.int32)
+    topic_w = np.empty((n_topics, topic_nnz), dtype=np.float32)
+    for t in range(n_topics):
+        c = rng.choice(dim, size=topic_nnz, replace=False, p=probs)
+        topic_comps[t] = np.sort(c)
+        topic_w[t] = (rng.gamma(2.0, 0.7, size=topic_nnz) + 0.05).astype(
+            np.float32
+        )
+    return probs, topic_comps, topic_w
+
+
 def synth_dataset(
     n_docs: int,
     dim: int = MSMARCO_VOCAB,
@@ -35,32 +53,61 @@ def synth_dataset(
     max_nnz: int = 256,
     alpha: float = 0.85,
     seed: int = 0,
+    n_topics: int = 512,
+    topic_frac: float = 0.7,
+    topic_seed: int = 0,
 ) -> CsrDataset:
+    """Topic-mixture SPLADE-like collection: each doc draws ~topic_frac of
+    its mass from one latent topic (scaled topic affinities + noise) and the
+    rest from the global Zipf background."""
     rng = np.random.default_rng(seed)
-    probs = _zipf_probs(dim, alpha, rng)
+    topic_nnz = int(max_nnz * 1.5)
+    probs, topic_comps, topic_w = _topic_model(
+        dim, n_topics, topic_nnz, alpha, topic_seed
+    )
     lengths = np.clip(
         rng.normal(mean_nnz, std_nnz, size=n_docs).astype(np.int64),
         min_nnz,
         max_nnz,
     )
-    total = int(lengths.sum())
-    offsets = np.zeros(n_docs + 1, dtype=np.int64)
-    np.cumsum(lengths, out=offsets[1:])
-    # sample components with replacement then dedupe per row (cheap and
-    # close enough to without-replacement at these lengths)
-    comps = rng.choice(dim, size=total, p=probs).astype(np.int32)
-    vals = (rng.gamma(2.0, 0.7, size=total) + 0.05).astype(np.float32)
-    # sort within each row and drop duplicates
-    row = np.repeat(np.arange(n_docs, dtype=np.int64), lengths)
-    order = np.lexsort((comps, row))
+    doc_topic = rng.integers(0, n_topics, size=n_docs)
+    n_top = (lengths * topic_frac).astype(np.int64)
+
+    comp_chunks, val_chunks, row_chunks = [], [], []
+    # topic part: vectorized per doc via random slots of the topic
+    for start in range(0, n_docs, 8192):
+        end = min(start + 8192, n_docs)
+        for d in range(start, end):
+            t = doc_topic[d]
+            kt = int(n_top[d])
+            slots = rng.choice(topic_nnz, size=kt, replace=False)
+            comp_chunks.append(topic_comps[t, slots])
+            val_chunks.append(
+                topic_w[t, slots]
+                * (0.6 + 0.8 * rng.random(kt).astype(np.float32))
+            )
+            kb = int(lengths[d] - kt)
+            comp_chunks.append(rng.choice(dim, size=kb, p=probs).astype(
+                np.int32))
+            val_chunks.append(
+                (rng.gamma(2.0, 0.5, size=kb) + 0.03).astype(np.float32)
+            )
+            row_chunks.append(np.full(kt + kb, d, dtype=np.int64))
+    comps = np.concatenate(comp_chunks)
+    vals = np.concatenate(val_chunks)
+    row = np.concatenate(row_chunks)
+    # sort within rows, dedupe (keep max value)
+    order = np.lexsort((-vals, comps, row))
     comps, vals, row = comps[order], vals[order], row[order]
-    keep = np.ones(total, dtype=bool)
+    keep = np.ones(len(comps), dtype=bool)
     keep[1:] = (comps[1:] != comps[:-1]) | (row[1:] != row[:-1])
     comps, vals, row = comps[keep], vals[keep], row[keep]
+    order = np.lexsort((comps, row))
+    comps, vals, row = comps[order], vals[order], row[order]
     new_lengths = np.bincount(row, minlength=n_docs)
-    new_offsets = np.zeros(n_docs + 1, dtype=np.int64)
-    np.cumsum(new_lengths, out=new_offsets[1:])
-    return CsrDataset(new_offsets, comps, vals, dim)
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(new_lengths, out=offsets[1:])
+    return CsrDataset(offsets, comps, vals, dim)
 
 
 def synth_queries(

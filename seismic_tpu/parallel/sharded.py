@@ -54,10 +54,17 @@ def pad_shards_to_common_shapes(shards: List[IndexArrays]) -> List[IndexArrays]:
     static-shape requirement for one SPMD program across chips)."""
     n_docs = max(s.fwd_comps.shape[0] for s in shards)
     width = max(s.fwd_comps.shape[1] for s in shards)
-    n_post = max(s.postings.shape[0] for s in shards)
     mb = max(s.max_blocks_per_list for s in shards)
+    mll = max(s.max_list_len for s in shards)
+    # extra mll tail so every shard can slice [max_list_len] windows at any
+    # of its real list offsets
+    n_post = max(s.postings.shape[0] for s in shards) + mll
     nbp = max(max(s.block_start.shape[0] for s in shards),
               max(int(s.list_n_blocks.sum()) for s in shards) + mb + 1)
+    n_tile = max(
+        (s.doc_tiles.shape[0] for s in shards if s.doc_tiles is not None),
+        default=0,
+    ) + mll
     nknn = max(s.nknn for s in shards)
     out = []
     for s in shards:
@@ -93,6 +100,23 @@ def pad_shards_to_common_shapes(shards: List[IndexArrays]) -> List[IndexArrays]:
             dense_scale=None
             if s.dense_scale is None
             else _pad_rows(s.dense_scale, nbp, 0),
+            doc_tiles=None
+            if s.doc_tiles is None
+            else _pad_rows(s.doc_tiles, n_tile, 0),
+            doc_tile_scale=None
+            if s.doc_tile_scale is None
+            else _pad_rows(s.doc_tile_scale, n_tile, 0),
+            tile_ovf_comps=None
+            if s.tile_ovf_comps is None
+            else _pad_rows(s.tile_ovf_comps, n_tile, PAD_COMPONENT),
+            tile_ovf_vals=None
+            if s.tile_ovf_vals is None
+            else _pad_rows(s.tile_ovf_vals, n_tile, 0),
+            list_post_start=s.list_post_start,
+            list_len=s.list_len,
+            posting_block_local=None
+            if s.posting_block_local is None
+            else _pad_rows(s.posting_block_local, n_post, 0),
             block_sketch=None
             if s.block_sketch is None
             else _pad_rows(s.block_sketch, nbp, 0),
@@ -118,6 +142,7 @@ def pad_shards_to_common_shapes(shards: List[IndexArrays]) -> List[IndexArrays]:
             n_docs=n_docs,
             max_blocks_per_list=mb,
             max_block_len=s.max_block_len,
+            max_list_len=mll,
             config=s.config,
         )
         out.append(t)

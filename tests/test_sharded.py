@@ -80,3 +80,20 @@ def test_sharded_scores_match_global_exact(setup):
     for a, b in zip(i_sh, i_1):
         assert set(map(int, a[a >= 0])) == set(map(int, b[b >= 0]))
     assert np.allclose(s_sh, s_1, atol=1e-3)
+
+
+def test_sharded_tiles_mode(setup):
+    """Tiles doc-scoring under shard_map matches the exact oracle."""
+    ds, cfg, q_comps, q_vals = setup
+    mesh = make_mesh(n_docs_shards=4, n_data=1)
+    sharded = ShardedIndex.build(ds, mesh, cfg)
+    params = SearchParams(k=10, query_cut=10, doc_mode="tiles",
+                          full_lists=True)
+    scores, ids = sharded.search_batch(q_comps, q_vals, params)
+    _, gt_i = exact_search_numpy(ds, q_comps, q_vals, k=10)
+    hits = sum(
+        len(set(map(int, r[r >= 0])) & set(map(int, g[g >= 0])))
+        for r, g in zip(ids, gt_i)
+    )
+    tot = sum(len(set(map(int, g[g >= 0]))) for g in gt_i)
+    assert hits / tot >= 0.9
