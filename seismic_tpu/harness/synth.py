@@ -53,15 +53,18 @@ def synth_dataset(
     max_nnz: int = 256,
     alpha: float = 0.85,
     seed: int = 0,
-    n_topics: int = 512,
-    topic_frac: float = 0.7,
+    n_topics: int = 4096,
+    topic_frac: float = 0.6,
+    topics_per_doc: int = 2,
     topic_seed: int = 0,
 ) -> CsrDataset:
     """Topic-mixture SPLADE-like collection: each doc draws ~topic_frac of
-    its mass from one latent topic (scaled topic affinities + noise) and the
-    rest from the global Zipf background."""
+    its mass from `topics_per_doc` latent topics (scaled affinities + noise)
+    and the rest from the global Zipf background."""
     rng = np.random.default_rng(seed)
-    topic_nnz = int(max_nnz * 1.5)
+    # fixed so documents and queries share one topic model regardless of
+    # their length parameters
+    topic_nnz = 384
     probs, topic_comps, topic_w = _topic_model(
         dim, n_topics, topic_nnz, alpha, topic_seed
     )
@@ -70,7 +73,7 @@ def synth_dataset(
         min_nnz,
         max_nnz,
     )
-    doc_topic = rng.integers(0, n_topics, size=n_docs)
+    doc_topics = rng.integers(0, n_topics, size=(n_docs, topics_per_doc))
     n_top = (lengths * topic_frac).astype(np.int64)
 
     comp_chunks, val_chunks, row_chunks = [], [], []
@@ -78,21 +81,28 @@ def synth_dataset(
     for start in range(0, n_docs, 8192):
         end = min(start + 8192, n_docs)
         for d in range(start, end):
-            t = doc_topic[d]
-            kt = int(n_top[d])
-            slots = rng.choice(topic_nnz, size=kt, replace=False)
-            comp_chunks.append(topic_comps[t, slots])
-            val_chunks.append(
-                topic_w[t, slots]
-                * (0.6 + 0.8 * rng.random(kt).astype(np.float32))
-            )
-            kb = int(lengths[d] - kt)
+            kt_total = int(n_top[d])
+            per = max(1, kt_total // topics_per_doc)
+            for ti in range(topics_per_doc):
+                t = doc_topics[d, ti]
+                kt = per if ti < topics_per_doc - 1 else (
+                    kt_total - per * (topics_per_doc - 1)
+                )
+                if kt <= 0:
+                    continue
+                slots = rng.choice(topic_nnz, size=kt, replace=False)
+                comp_chunks.append(topic_comps[t, slots])
+                val_chunks.append(
+                    topic_w[t, slots]
+                    * (0.6 + 0.8 * rng.random(kt).astype(np.float32))
+                )
+            kb = int(lengths[d] - kt_total)
             comp_chunks.append(rng.choice(dim, size=kb, p=probs).astype(
                 np.int32))
             val_chunks.append(
                 (rng.gamma(2.0, 0.5, size=kb) + 0.03).astype(np.float32)
             )
-            row_chunks.append(np.full(kt + kb, d, dtype=np.int64))
+            row_chunks.append(np.full(kt_total + kb, d, dtype=np.int64))
     comps = np.concatenate(comp_chunks)
     vals = np.concatenate(val_chunks)
     row = np.concatenate(row_chunks)

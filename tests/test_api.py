@@ -1,0 +1,151 @@
+"""API-surface tests across the seven binding classes."""
+
+import numpy as np
+import pytest
+
+from seismic_tpu import (
+    SeismicDataset,
+    SeismicDatasetLV,
+    SeismicIndex,
+    SeismicIndexDotVByte,
+    SeismicIndexLV,
+    SeismicIndexRaw,
+    SeismicIndexRawLV,
+    get_seismic_string,
+)
+from seismic_tpu.data import io as data_io
+from tests.conftest import make_random_dataset
+
+
+def test_get_seismic_string():
+    assert get_seismic_string() == "U30"
+    a = np.array(["hello"], dtype=get_seismic_string())
+    assert a.dtype == np.dtype("U30")
+
+
+@pytest.fixture(scope="module")
+def toy_index(toy_documents_path):
+    return SeismicIndex.build(toy_documents_path, n_postings=100)
+
+
+def test_index_accessors(toy_index):
+    idx = toy_index
+    assert idx.len == 20 and len(idx) == 20
+    assert idx.dim > 1000
+    assert idx.nnz > 0
+    assert idx.knn_len == 0
+    assert not idx.is_empty
+    comps, vals = idx.get(0)
+    assert len(comps) == len(vals) > 0
+    assert np.all(np.diff(comps) > 0)
+    docs = idx.get_doc_ids_in_postings(int(comps[0]))
+    assert 0 in docs
+    with pytest.raises(ValueError):
+        idx.get_doc_ids_in_postings(idx.dim + 5)
+    assert idx.get_doc_text(0) is not None
+
+
+def test_index_search_roundtrip(toy_index, toy_queries_path, tmp_path):
+    import json
+
+    queries = [json.loads(l) for l in open(toy_queries_path)]
+    qids = np.array([q["id"] for q in queries], dtype="U30")
+    qc = [np.array(list(q["vector"].keys()), dtype="U30") for q in queries]
+    qv = [np.array(list(q["vector"].values()), dtype=np.float32)
+          for q in queries]
+
+    single = toy_index.search(str(qids[0]), qc[0], qv[0], k=5,
+                              query_cut=30, heap_factor=0.0)
+    assert len(single) >= 1
+    assert single[0][0] == str(qids[0])
+    batch = toy_index.batch_search(qids, qc, qv, k=5, query_cut=30,
+                                   heap_factor=0.0)
+    assert [d for _, _, d in batch[0]] == [d for _, _, d in single]
+
+    # save -> load -> identical results (incl. doc-id mapping + content)
+    p = toy_index.save(str(tmp_path / "toy"))
+    back = SeismicIndex.load(str(tmp_path / "toy"))
+    batch2 = back.batch_search(qids, qc, qv, k=5, query_cut=30,
+                               heap_factor=0.0)
+    assert batch2 == batch
+    assert back.get_doc_text(0) == toy_index.get_doc_text(0)
+
+
+def test_index_knn_via_api(toy_index, toy_queries_path, tmp_path):
+    import json
+
+    toy_index.build_knn(4, batch_size=32)
+    assert toy_index.knn_len == 4
+    p = toy_index.save_knn(str(tmp_path / "toy"))
+    toy_index.load_knn(p, nknn=2)
+    assert toy_index.knn_len == 2
+    queries = [json.loads(l) for l in open(toy_queries_path)][:2]
+    qids = np.array([q["id"] for q in queries], dtype="U30")
+    qc = [np.array(list(q["vector"].keys()), dtype="U30") for q in queries]
+    qv = [np.array(list(q["vector"].values()), dtype=np.float32)
+          for q in queries]
+    out = toy_index.batch_search(qids, qc, qv, k=5, query_cut=30,
+                                 heap_factor=0.0, n_knn=2)
+    assert len(out[0]) >= 1
+
+
+def test_raw_index_flow(tmp_path, rng):
+    ds = make_random_dataset(rng, n_docs=100, dim=300, seed=31)
+    doc_path = str(tmp_path / "documents.bin")
+    data_io.write_seismic_format(ds, doc_path)
+    idx = SeismicIndexRaw.build(doc_path, n_postings=50)
+    assert idx.len == 100
+
+    comps, vals = ds.get(7)
+    res = idx.search(comps, vals, k=5, query_cut=30, heap_factor=0.0)
+    assert res[0][1] == 7  # the doc itself is its own best match
+    assert res[0][0] > 0
+
+    # batch via a query .bin file
+    qpath = str(tmp_path / "queries.bin")
+    data_io.write_seismic_format(ds.subset(np.arange(4)), qpath)
+    out = idx.batch_search(qpath, k=3, query_cut=30, heap_factor=0.0)
+    assert len(out) == 4
+    assert out[2][0][1] == 2
+
+
+def test_dotvbyte_variant(toy_documents_path):
+    idx = SeismicIndexDotVByte.build(toy_documents_path, n_postings=100)
+    assert idx.arrays.fwd_vals.dtype == np.uint8
+    with pytest.raises(NotImplementedError):
+        idx.build_knn(2)
+    comps, vals = idx.get(3)
+    assert np.all(vals >= 0)
+
+
+def test_lv_classes_capacity():
+    d = SeismicDataset()
+    assert d._component_cap == 1 << 16
+    dlv = SeismicDatasetLV()
+    assert dlv._component_cap == 1 << 32
+    assert SeismicIndexLV._component_cap == 1 << 32
+    assert SeismicIndexRawLV._component_cap == 1 << 32
+
+
+def test_dataset_exact_search_and_convert(toy_documents_path):
+    import json
+
+    ds = SeismicDataset()
+    for line in open(toy_documents_path):
+        rec = json.loads(line)
+        ds.add_document(str(rec["id"]), list(rec["vector"].keys()),
+                        list(rec["vector"].values()), rec.get("content"))
+    assert ds.len == 20 and ds.nnz > 0 and ds.dim > 1000
+    assert "Manhattan" in ds.get_doc_text(0)
+
+    rec = json.loads(open(toy_documents_path).readline())
+    qc = np.array(list(rec["vector"].keys()), dtype="U30")
+    qv = np.array(list(rec["vector"].values()), dtype=np.float32)
+    out = ds.search("q", qc, qv, k=3)
+    assert out[0][2] == str(rec["id"])  # self-match first
+
+    idx = SeismicIndex.build_from_dataset(ds, n_postings=100)
+    assert idx.len == 20
+    res = idx.search("q", qc, qv, k=3, query_cut=30, heap_factor=0.0)
+    assert res[0][2] == str(rec["id"])
+    assert idx.get_doc_text(0) == ds.get_doc_text(0)
