@@ -31,7 +31,7 @@ N_QUERIES = 512
 K = 10
 BATCH = int(os.environ.get("BENCH_BATCH", 256))
 TARGET_RECALL = 0.97
-N_POSTINGS = int(os.environ.get("BENCH_N_POSTINGS", 100))
+N_POSTINGS = int(os.environ.get("BENCH_N_POSTINGS", 200))
 BASELINE_QPS = 1e6 / 185.0  # reference single-thread CPU AQT
 
 # (query_cut, heap_factor, full_lists, block_budget): accuracy ladder for
@@ -42,7 +42,6 @@ LADDER = [
     (15, 0.0, True, 0),
     (20, 0.0, True, 0),
     (30, 0.0, True, 0),
-    (45, 0.0, True, 0),
 ]
 
 
@@ -91,9 +90,11 @@ def get_index(ds):
     from seismic_tpu.build.builder import build_index
 
     cfg = Configuration(
-        pruning=GlobalThresholdPruning(n_postings=N_POSTINGS, max_fraction=1.5),
+        pruning=GlobalThresholdPruning(n_postings=N_POSTINGS,
+                                       max_fraction=2.0),
         layout=TpuLayout(
-            max_block_len=32, summary_vocab_cap=512, max_doc_nnz=256
+            max_block_len=32, summary_vocab_cap=512, max_doc_nnz=256,
+            tile_overflow=32,
         ),
     )
     t = time.time()
@@ -166,7 +167,7 @@ def main():
         params = SearchParams(
             k=K, query_cut=query_cut, block_budget=budget,
             block_mode="dense", doc_mode="tiles", full_lists=full_lists,
-            score_cut=64,
+            score_cut=64, dedup_pool=128,
         )
         outs = []
         for b in range(n_batches):

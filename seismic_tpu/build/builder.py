@@ -600,14 +600,18 @@ def _build_dense_structures(
         doc_ids = postings[ps : ps + ln].astype(np.int64)
         local, comps, vals = _doc_entries(dataset, doc_ids)
 
-        # ---- local vocab: top-v_cap by max-pooled doc value ----
-        order = np.lexsort((-vals, comps))
+        # ---- local vocab: top-v_cap by summed doc value (components
+        # shared by many of the list's docs rank first; on topically
+        # clustered data this covers far more of the dot mass than max) ----
+        order = np.argsort(comps, kind="stable")
         c_s, v_s = comps[order], vals[order]
         first = np.ones(len(c_s), dtype=bool)
         first[1:] = c_s[1:] != c_s[:-1]
-        uniq_c, uniq_v = c_s[first], v_s[first]
+        uniq_c = c_s[first]
+        group = np.cumsum(first) - 1
+        sums = np.bincount(group, weights=v_s.astype(np.float64))
         if len(uniq_c) > v_cap:
-            top = np.argpartition(-uniq_v, v_cap)[:v_cap]
+            top = np.argpartition(-sums, v_cap)[:v_cap]
             kept = np.sort(uniq_c[top])
         else:
             kept = np.sort(uniq_c)

@@ -46,8 +46,7 @@ def main(argv=None):
     qcd = jnp.asarray(q_comps, jnp.int32)
     qvd = jnp.asarray(q_vals, jnp.float32)
 
-    for n_post, v_cap, ovf in [(200, 512, 16), (200, 1024, 32),
-                               (400, 512, 16), (400, 1024, 32)]:
+    for n_post, v_cap, ovf in [(200, 512, 32), (200, 1024, 32)]:
         cfg = Configuration(
             pruning=GlobalThresholdPruning(n_postings=n_post,
                                            max_fraction=2.0),
@@ -85,6 +84,8 @@ def main(argv=None):
         s, i = search_batch_jit(index, qcd, qvd, jnp.float32(0.0), params,
                                 128, 42)
         print(f"  gather ceiling qc=20: {recall(np.asarray(i)):.4f}")
+        del index
+        import gc; gc.collect()
     return 0
 
 

@@ -146,9 +146,11 @@ inline float quantize_row_u8(const float* row, i64 n, u8* codes) {
   return scale;
 }
 
-// component-wise max over a set of docs -> sorted (comp, max) pairs
+// component-wise max over a set of docs -> sorted (comp, max) pairs;
+// optionally also the per-component SUM (used for vocab ranking)
 void maxpool_docs(const Dataset& ds, const i64* doc_ids, i64 n,
-                  std::vector<std::pair<i32, float>>* out) {
+                  std::vector<std::pair<i32, float>>* out,
+                  std::vector<double>* sums = nullptr) {
   out->clear();
   for (i64 i = 0; i < n; ++i) {
     i64 d = doc_ids[i];
@@ -161,11 +163,15 @@ void maxpool_docs(const Dataset& ds, const i64* doc_ids, i64 n,
               return a.first != b.first ? a.first < b.first
                                         : a.second > b.second;
             });
-  // keep first (max) per component
+  if (sums) sums->clear();
+  // keep first (max) per component; accumulate sums per component
   i64 w = 0;
   for (i64 r = 0; r < static_cast<i64>(out->size()); ++r) {
     if (w == 0 || (*out)[r].first != (*out)[w - 1].first) {
       (*out)[w++] = (*out)[r];
+      if (sums) sums->push_back((*out)[r].second);
+    } else if (sums) {
+      sums->back() += (*out)[r].second;
     }
   }
   out->resize(w);
@@ -342,14 +348,16 @@ void build_one_list(const Dataset& ds, const Config& cfg, i64 list_id,
         static_cast<i32>(final_offsets[b + 1] - final_offsets[b]));
   }
 
-  // ---- 2. list vocabulary (top v_cap by max-pooled doc value) ------------
-  maxpool_docs(ds, docs.data(), n, pool);
+  // ---- 2. list vocabulary (top v_cap by SUMMED doc value; mirrors the
+  // NumPy pipeline: shared/topical components rank first) ------------------
+  std::vector<double> comp_sums;
+  maxpool_docs(ds, docs.data(), n, pool, &comp_sums);
   std::vector<std::pair<i32, float>>& pooled = *pool;
   std::vector<i32> vocab;
   if (static_cast<i64>(pooled.size()) > cfg.v_cap) {
-    std::vector<std::pair<float, i32>> byval(pooled.size());
+    std::vector<std::pair<double, i32>> byval(pooled.size());
     for (size_t i = 0; i < pooled.size(); ++i) {
-      byval[i] = {pooled[i].second, pooled[i].first};
+      byval[i] = {comp_sums[i], pooled[i].first};
     }
     std::nth_element(byval.begin(), byval.begin() + cfg.v_cap - 1,
                      byval.end(),
