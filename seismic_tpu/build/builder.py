@@ -268,6 +268,10 @@ def build_index(
         fwd_vals_f32, fwd_comps, value_dtype
     )
 
+    list_vocab2, ovf_comps2 = _shrink_comp_arrays(
+        list_vocab, ovf_comps, dataset.dim
+    )
+
     # --- doc sketches -------------------------------------------------------
     doc_sketch = doc_sketch_scale = None
     if store_sketches and layout.sketch_dim > 0:
@@ -294,12 +298,12 @@ def build_index(
         summary_codes=summary_codes,
         summary_min=summary_min,
         summary_quant=summary_quant,
-        list_vocab=list_vocab,
+        list_vocab=list_vocab2,
         dense_summary=dense_summary,
         dense_scale=dense_scale,
         doc_tiles=doc_tiles,
         doc_tile_scale=doc_tile_scale,
-        tile_ovf_comps=ovf_comps,
+        tile_ovf_comps=ovf_comps2,
         tile_ovf_vals=ovf_vals,
         list_post_start=list_post_start,
         list_len=list_len,
@@ -336,6 +340,25 @@ def _native_supported(config: Configuration) -> bool:
         (EnergyPreservingSummarization, FixedSizeSummarization),
     )
     return blocking_ok and summ_ok
+
+
+def _shrink_comp_arrays(list_vocab, ovf_comps, dim):
+    """Store vocab/overflow component ids as int16 when the vocabulary
+    fits (halves the bytes of the hottest per-query gathers). -1 is the
+    no-match sentinel either way."""
+    if list_vocab is not None:
+        list_vocab = np.where(
+            list_vocab == PAD_COMPONENT, -1, list_vocab
+        )
+        list_vocab = list_vocab.astype(
+            np.int16 if dim < 32768 else np.int32
+        )
+    if ovf_comps is not None:
+        ovf_comps = np.where(ovf_comps == PAD_COMPONENT, -1, ovf_comps)
+        ovf_comps = ovf_comps.astype(
+            np.int16 if dim < 32768 else np.int32
+        )
+    return list_vocab, ovf_comps
 
 
 def _build_native(
@@ -496,6 +519,9 @@ def _build_native(
         )
         doc_sketch, doc_sketch_scale = quantize_sketch_int8(dsk)
 
+    list_vocab_s, ovf_comps_s = _shrink_comp_arrays(
+        res["list_vocab"], ovf_comps, dataset.dim
+    )
     return IndexArrays(
         fwd_comps=fwd_comps,
         fwd_vals=fwd_vals,
@@ -510,12 +536,12 @@ def _build_native(
         summary_codes=summary_codes,
         summary_min=summary_min,
         summary_quant=summary_quant,
-        list_vocab=res["list_vocab"],
+        list_vocab=list_vocab_s,
         dense_summary=dense_summary,
         dense_scale=dense_scale,
         doc_tiles=doc_tiles,
         doc_tile_scale=doc_tile_scale,
-        tile_ovf_comps=ovf_comps,
+        tile_ovf_comps=ovf_comps_s,
         tile_ovf_vals=ovf_vals,
         list_post_start=list_post_start,
         list_len=list_len,

@@ -108,7 +108,7 @@ def pad_shards_to_common_shapes(shards: List[IndexArrays]) -> List[IndexArrays]:
             else _pad_rows(s.doc_tile_scale, n_tile, 0),
             tile_ovf_comps=None
             if s.tile_ovf_comps is None
-            else _pad_rows(s.tile_ovf_comps, n_tile, PAD_COMPONENT),
+            else _pad_rows(s.tile_ovf_comps, n_tile, -1),
             tile_ovf_vals=None
             if s.tile_ovf_vals is None
             else _pad_rows(s.tile_ovf_vals, n_tile, 0),

@@ -213,7 +213,7 @@ def _tiles_search(
     MB = max(index.max_blocks_per_list, 1)
     k = params.k
 
-    vocab = index.list_vocab[safe_lists]  # [B, QC, V]
+    vocab = index.list_vocab[safe_lists].astype(jnp.int32)  # [B, QC, V]
     qloc = _qloc_compare(vocab, q_comps, q_vals, params.score_cut)
 
     lps = index.list_post_start[safe_lists]  # [B, QC]
@@ -309,7 +309,9 @@ def _tiles_search(
         sc = min(params.score_cut, q_vals.shape[1])
         top_v, top_p = jax.lax.top_k(q_vals, sc)
         top_c = jnp.take_along_axis(q_comps, top_p, axis=1)  # [B, sc]
-        oc = index.tile_ovf_comps[safe_post]  # [B, pool, O]
+        oc = index.tile_ovf_comps[safe_post].astype(
+            jnp.int32
+        )  # [B, pool, O]
         ov = index.tile_ovf_vals[safe_post].astype(jnp.float32)
         eq = oc[..., None] == top_c[:, None, None, :]  # [B, pool, O, sc]
         qmatch = jnp.einsum(
