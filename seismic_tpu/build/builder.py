@@ -118,7 +118,6 @@ def build_index(
     list_block_start = np.zeros(n_lists, dtype=np.int32)
     list_n_blocks = np.zeros(n_lists, dtype=np.int32)
     summaries_per_block: List[Tuple[np.ndarray, np.ndarray, float, float]] = []
-    list_of_summary_counts: List[int] = []  # blocks per list, in order
 
     pos = 0  # running position in the flat posting array
     for list_id in range(n_lists):
@@ -154,7 +153,6 @@ def build_index(
         )
         assert len(summaries) == len(offsets) - 1
         summaries_per_block.extend(summaries)
-        list_of_summary_counts.append(len(summaries))
 
         postings_parts.append(ordered.astype(np.int32))
         for i in range(len(offsets) - 1):

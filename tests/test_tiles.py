@@ -128,3 +128,36 @@ def test_tiles_score_cut_truncation(setup):
     _, ids_lo = search_batch(dev, q_comps, q_vals, lo)
     _, ids_hi = search_batch(dev, q_comps, q_vals, hi)
     assert _recall(ids_hi, gt_i) >= _recall(ids_lo, gt_i)
+
+
+def test_large_vocab_int32_fallback():
+    """dim >= 32768 keeps int32 vocab/overflow ids (LV variant layout)."""
+    rng = np.random.default_rng(4)
+    ds = make_random_dataset(rng, n_docs=80, dim=40000, min_nnz=10,
+                             max_nnz=30, seed=13)
+    cfg = Configuration(layout=TpuLayout(max_block_len=16,
+                                         summary_vocab_cap=128))
+    arrays = build_index(ds, cfg)
+    assert arrays.list_vocab.dtype == np.int32
+    assert arrays.tile_ovf_comps.dtype == np.int32
+    # queries = doc vectors (random queries share nothing at this sparsity)
+    qc = [ds.get(i)[0] for i in range(4)]
+    qv = [ds.get(i)[1] for i in range(4)]
+    q_comps, q_vals = pad_queries(qc, qv, 32)
+    gt_s, gt_i = exact_search_numpy(ds, q_comps, q_vals, k=5)
+    # at this sparsity only positive-score GT entries are meaningful
+    gt_i = np.where(gt_s > 1e-6, gt_i, -1)
+    params = SearchParams(k=5, query_cut=32, doc_mode="tiles",
+                          full_lists=True)
+    _, ids = search_batch(arrays.to_device(), q_comps, q_vals, params)
+    assert _recall(ids, gt_i, 5) >= 0.9
+
+
+def test_small_vocab_int16():
+    rng = np.random.default_rng(6)
+    ds = make_random_dataset(rng, n_docs=80, dim=500, seed=17)
+    cfg = Configuration(layout=TpuLayout(max_block_len=16,
+                                         summary_vocab_cap=128))
+    arrays = build_index(ds, cfg)
+    assert arrays.list_vocab.dtype == np.int16
+    assert arrays.tile_ovf_comps.dtype == np.int16
