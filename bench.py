@@ -33,11 +33,12 @@ BATCH = int(os.environ.get("BENCH_BATCH", 256))
 TARGET_RECALL = 0.97
 N_POSTINGS = int(os.environ.get("BENCH_N_POSTINGS", 200))
 BASELINE_QPS = 1e6 / 185.0  # reference single-thread CPU AQT
+V_CAP = int(os.environ.get("BENCH_V_CAP", 1024))
+TILE_OVERFLOW = int(os.environ.get("BENCH_TILE_OVERFLOW", 32))
 
 # (query_cut, heap_factor, full_lists, block_budget): accuracy ladder for
 # the tiles mode (full_lists ignores hf/budget and scans selected lists)
 LADDER = [
-    (10, 0.8, False, 64),
     (10, 0.0, True, 0),
     (15, 0.0, True, 0),
     (20, 0.0, True, 0),
@@ -80,7 +81,9 @@ def get_index(ds):
     )
     from seismic_tpu.types import IndexArrays
 
-    path = os.path.join(CACHE, f"index_{N_DOCS}_{DIM}_{N_POSTINGS}")
+    path = os.path.join(
+        CACHE, f"index_{N_DOCS}_{DIM}_{N_POSTINGS}_v{V_CAP}_o{TILE_OVERFLOW}"
+    )
     full = path + ".index.seismic_tpu"
     if os.path.exists(full):
         t = time.time()
@@ -93,8 +96,8 @@ def get_index(ds):
         pruning=GlobalThresholdPruning(n_postings=N_POSTINGS,
                                        max_fraction=2.0),
         layout=TpuLayout(
-            max_block_len=32, summary_vocab_cap=512, max_doc_nnz=256,
-            tile_overflow=32,
+            max_block_len=32, summary_vocab_cap=V_CAP, max_doc_nnz=256,
+            tile_overflow=TILE_OVERFLOW,
         ),
     )
     t = time.time()

@@ -231,7 +231,17 @@ def _tiles_search(
             * scale
         )
 
-    scores = jax.vmap(jax.vmap(score_list))(lps, qloc)  # [B, QC, LL]
+    # Sequential over the query_cut axis: bounds the materialized sliced
+    # tiles to [B, LL, V] per step (vmapping both axes would materialize
+    # [B, QC, LL, V], which OOMs at large query_cut).
+    def qc_step(_, inputs):
+        lps_col, qloc_col = inputs  # [B], [B, V]
+        return None, jax.vmap(score_list)(lps_col, qloc_col)
+
+    _, scores_t = jax.lax.scan(
+        qc_step, None, (lps.T, jnp.transpose(qloc, (1, 0, 2)))
+    )
+    scores = jnp.transpose(scores_t, (1, 0, 2))  # [B, QC, LL]
     pos_mask = (
         (jnp.arange(LL, dtype=jnp.int32) < lln[..., None])
         & sel_valid[..., None]
