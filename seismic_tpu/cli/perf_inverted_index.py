@@ -37,6 +37,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--cand-budget", type=int, default=0)
     p.add_argument("--block-mode", default=None,
                    choices=[None, "dense", "summary", "sketch"])
+    p.add_argument("--doc-mode", default=None,
+                   choices=[None, "tiles", "gather"])
+    p.add_argument("--full-lists", action="store_true", default=None)
     p.add_argument("--num-threads", type=int, default=0,
                    help="accepted for parity; ignored")
     return p
@@ -65,12 +68,21 @@ def main(argv=None) -> int:
     mode = args.block_mode or (
         "dense" if arrays.dense_summary is not None else "summary"
     )
+    doc_mode = args.doc_mode or (
+        "tiles" if arrays.doc_tiles is not None else "gather"
+    )
+    full_lists = (
+        args.full_lists if args.full_lists is not None
+        else args.block_budget == 0
+    )
     params = SearchParams(
         k=args.k,
         query_cut=args.query_cut,
         block_budget=args.block_budget,
         cand_budget=args.cand_budget,
         block_mode=mode,
+        doc_mode=doc_mode,
+        full_lists=full_lists,
         n_knn=args.n_knn,
         first_sorted=args.first_sorted,
     )

@@ -199,6 +199,6 @@ batch-size = 8
 
     results = collect_grid_results(root)
     assert len(results) == 4
-    best = best_config_for_recall(results, 0.5)
+    best = best_config_for_recall(results, 0.3)
     assert best is not None
     assert best["us_per_query"] > 0
