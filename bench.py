@@ -34,7 +34,7 @@ TARGET_RECALL = 0.97
 N_POSTINGS = int(os.environ.get("BENCH_N_POSTINGS", 200))
 BASELINE_QPS = 1e6 / 185.0  # reference single-thread CPU AQT
 V_CAP = int(os.environ.get("BENCH_V_CAP", 1024))
-TILE_OVERFLOW = int(os.environ.get("BENCH_TILE_OVERFLOW", 32))
+TILE_OVERFLOW = int(os.environ.get("BENCH_TILE_OVERFLOW", 64))
 
 # (query_cut, heap_factor, full_lists, block_budget): accuracy ladder for
 # the tiles mode (full_lists ignores hf/budget and scans selected lists)

@@ -74,6 +74,10 @@ class SearchParams:
     # Pool size for the dedup stage in tiles mode (top candidates kept
     # before duplicate removal); 0 = 8 * k.
     dedup_pool: int = 0
+    # Use the Pallas fused tile scorer (requires an index uploaded with
+    # to_device(pallas_tiles=True) and full_lists; falls back to the XLA
+    # formulation otherwise).
+    use_pallas: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -231,17 +235,38 @@ def _tiles_search(
             * scale
         )
 
-    # Sequential over the query_cut axis: bounds the materialized sliced
-    # tiles to [B, LL, V] per step (vmapping both axes would materialize
-    # [B, QC, LL, V], which OOMs at large query_cut).
-    def qc_step(_, inputs):
-        lps_col, qloc_col = inputs  # [B], [B, V]
-        return None, jax.vmap(score_list)(lps_col, qloc_col)
-
-    _, scores_t = jax.lax.scan(
-        qc_step, None, (lps.T, jnp.transpose(qloc, (1, 0, 2)))
+    use_pallas = (
+        params.use_pallas
+        and params.full_lists
+        and index.doc_tiles_aligned is not None
+        and (B * QC) % 8 == 0
     )
-    scores = jnp.transpose(scores_t, (1, 0, 2))  # [B, QC, LL]
+    if use_pallas:
+        from ..ops.pallas_tiles import score_tiles_pallas
+        from ..ops_pallas_prep import ll_pad_for
+
+        LL = ll_pad_for(index.max_list_len)
+        tb_idx = index.list_region_start[safe_lists].reshape(B * QC)
+        flat = score_tiles_pallas(
+            index.doc_tiles_aligned,
+            index.tile_scale3d,
+            tb_idx,
+            qloc.reshape(B * QC, V),
+            LL,
+        )
+        scores = flat.reshape(B, QC, LL)
+    else:
+        # Sequential over the query_cut axis: bounds the materialized
+        # sliced tiles to [B, LL, V] per step (vmapping both axes would
+        # materialize [B, QC, LL, V], which OOMs at large query_cut).
+        def qc_step(_, inputs):
+            lps_col, qloc_col = inputs  # [B], [B, V]
+            return None, jax.vmap(score_list)(lps_col, qloc_col)
+
+        _, scores_t = jax.lax.scan(
+            qc_step, None, (lps.T, jnp.transpose(qloc, (1, 0, 2)))
+        )
+        scores = jnp.transpose(scores_t, (1, 0, 2))  # [B, QC, LL]
     pos_mask = (
         (jnp.arange(LL, dtype=jnp.int32) < lln[..., None])
         & sel_valid[..., None]

@@ -272,8 +272,12 @@ class IndexArrays:
         )
 
     # ------------------------------------------------------------- device
-    def to_device(self, device=None):
-        """Upload all arrays to a device, returning a DeviceIndex pytree."""
+    def to_device(self, device=None, pallas_tiles: bool = False):
+        """Upload all arrays to a device, returning a DeviceIndex pytree.
+
+        With pallas_tiles=True (and doc tiles present) additionally builds
+        the SUB-aligned tile layout consumed by the Pallas fused scorer
+        (SearchParams.use_pallas)."""
         import jax
         import jax.numpy as jnp
 
@@ -282,8 +286,19 @@ class IndexArrays:
                 return None
             return jax.device_put(jnp.asarray(a), device)
 
+        extra = {}
+        if pallas_tiles and self.doc_tiles is not None:
+            from .ops_pallas_prep import prepare_pallas_tiles
+
+            tiles_i8, scale3d, region_start = prepare_pallas_tiles(self)
+            extra = dict(
+                doc_tiles_aligned=put(tiles_i8),
+                tile_scale3d=put(scale3d),
+                list_region_start=put(region_start),
+            )
         return DeviceIndex(
             **{f: put(getattr(self, f)) for f in self._ARRAY_FIELDS},
+            **extra,
             dim=self.dim,
             n_docs=self.n_docs,
             max_blocks_per_list=self.max_blocks_per_list,
@@ -328,6 +343,10 @@ class DeviceIndex:
     doc_sketch: object
     doc_sketch_scale: object
     knn: object
+    # device-only Pallas tile layout (built by to_device(pallas_tiles=True))
+    doc_tiles_aligned: object = None
+    tile_scale3d: object = None
+    list_region_start: object = None
     dim: int = 0
     n_docs: int = 0
     max_blocks_per_list: int = 0
