@@ -40,7 +40,8 @@ TILE_OVERFLOW = int(os.environ.get("BENCH_TILE_OVERFLOW", 64))
 # the tiles mode (full_lists ignores hf/budget and scans selected lists)
 LADDER = [
     (10, 0.0, True, 0),
-    (15, 0.0, True, 0),
+    (14, 0.0, True, 0),
+    (16, 0.0, True, 0),
     (20, 0.0, True, 0),
     (30, 0.0, True, 0),
 ]
@@ -153,7 +154,7 @@ def main():
     q_comps, q_vals = pad_queries(qc, qv, 64)
     gt_ids = get_ground_truth(ds, q_comps, q_vals)
 
-    index = arrays.to_device()
+    index = arrays.to_device(pallas_tiles=True)
     layout = arrays.config.layout
     n_batches = N_QUERIES // BATCH
     qc_dev = [
@@ -170,7 +171,7 @@ def main():
         params = SearchParams(
             k=K, query_cut=query_cut, block_budget=budget,
             block_mode="dense", doc_mode="tiles", full_lists=full_lists,
-            score_cut=64, dedup_pool=128,
+            score_cut=64, dedup_pool=128, use_pallas=True,
         )
         outs = []
         for b in range(n_batches):

@@ -287,6 +287,7 @@ class IndexArrays:
             return jax.device_put(jnp.asarray(a), device)
 
         extra = {}
+        skip = set()
         if pallas_tiles and self.doc_tiles is not None:
             from .ops_pallas_prep import prepare_pallas_tiles
 
@@ -296,8 +297,14 @@ class IndexArrays:
                 tile_scale3d=put(scale3d),
                 list_region_start=put(region_start),
             )
+            # the packed tiles are superseded on device; keep HBM for the
+            # aligned layout
+            skip = {"doc_tiles", "doc_tile_scale"}
         return DeviceIndex(
-            **{f: put(getattr(self, f)) for f in self._ARRAY_FIELDS},
+            **{
+                f: (None if f in skip else put(getattr(self, f)))
+                for f in self._ARRAY_FIELDS
+            },
             **extra,
             dim=self.dim,
             n_docs=self.n_docs,
