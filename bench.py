@@ -29,7 +29,7 @@ N_DOCS = int(os.environ.get("BENCH_N_DOCS", 100_000))
 DIM = 30522
 N_QUERIES = 512
 K = 10
-BATCH = int(os.environ.get("BENCH_BATCH", 256))
+BATCH = int(os.environ.get("BENCH_BATCH", 512))
 TARGET_RECALL = 0.97
 N_POSTINGS = int(os.environ.get("BENCH_N_POSTINGS", 200))
 BASELINE_QPS = 1e6 / 185.0  # reference single-thread CPU AQT
