@@ -27,9 +27,9 @@ CACHE = os.path.join(ROOT, ".bench_cache")
 # ---- benchmark protocol constants ----
 N_DOCS = int(os.environ.get("BENCH_N_DOCS", 100_000))
 DIM = 30522
-N_QUERIES = 512
+N_QUERIES = 1024
 K = 10
-BATCH = int(os.environ.get("BENCH_BATCH", 512))
+BATCH = int(os.environ.get("BENCH_BATCH", 1024))
 TARGET_RECALL = 0.97
 N_POSTINGS = int(os.environ.get("BENCH_N_POSTINGS", 200))
 BASELINE_QPS = 1e6 / 185.0  # reference single-thread CPU AQT

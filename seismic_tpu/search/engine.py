@@ -253,6 +253,7 @@ def _tiles_search(
             tb_idx,
             qloc.reshape(B * QC, V),
             LL,
+            interpret=jax.default_backend() != "tpu",
         )
         scores = flat.reshape(B, QC, LL)
     else:

@@ -161,3 +161,22 @@ def test_small_vocab_int16():
     arrays = build_index(ds, cfg)
     assert arrays.list_vocab.dtype == np.int16
     assert arrays.tile_ovf_comps.dtype == np.int16
+
+
+def test_pallas_engine_path_matches_xla(setup):
+    """Full search through the Pallas fused scorer (interpret mode on CPU)
+    equals the XLA tiles path."""
+    _, arrays, q_comps, q_vals, gt_i = setup
+    # B*QC must be a multiple of 8 for the Pallas grid
+    qc8, qv8 = q_comps[:8], q_vals[:8]
+    dev_x = arrays.to_device()
+    dev_p = arrays.to_device(pallas_tiles=True)
+    assert dev_p.doc_tiles is None  # packed tiles dropped on device
+    px = SearchParams(k=10, query_cut=8, doc_mode="tiles", full_lists=True)
+    pp = SearchParams(k=10, query_cut=8, doc_mode="tiles", full_lists=True,
+                      use_pallas=True)
+    s_x, i_x = search_batch(dev_x, qc8, qv8, px)
+    s_p, i_p = search_batch(dev_p, qc8, qv8, pp)
+    assert (i_x == i_p).mean() > 0.95
+    finite = np.isfinite(s_x) & np.isfinite(s_p)
+    assert np.allclose(s_x[finite], s_p[finite], rtol=1e-3, atol=1e-2)
