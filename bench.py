@@ -40,6 +40,8 @@ TILE_OVERFLOW = int(os.environ.get("BENCH_TILE_OVERFLOW", 64))
 # the tiles mode (full_lists ignores hf/budget and scans selected lists)
 LADDER = [
     (10, 0.0, True, 0),
+    (11, 0.0, True, 0),
+    (12, 0.0, True, 0),
     (14, 0.0, True, 0),
     (16, 0.0, True, 0),
     (20, 0.0, True, 0),
