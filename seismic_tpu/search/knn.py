@@ -40,12 +40,15 @@ def build_knn(
     layout = arrays.config.layout if arrays.config else None
     sketch_dim = layout.sketch_dim if layout else 128
     sketch_seed = layout.sketch_seed if layout else 42
+    use_tiles = arrays.doc_tiles is not None
     params = SearchParams(
         k=nknn + 1,
         query_cut=KNN_QUERY_CUT,
         block_budget=block_budget,
         cand_budget=cand_budget,
         block_mode="dense" if arrays.dense_summary is not None else "summary",
+        doc_mode="tiles" if use_tiles else "gather",
+        full_lists=use_tiles,
         n_knn=0,
     )
     out = np.full((n_docs, nknn), -1, dtype=np.int32)
