@@ -208,15 +208,25 @@ def main():
 
     run_all()  # warmup (compiled already, but fill caches)
     reps = 10
+    # p50 batch latency: synced per batch
     batch_times = []
-    t0 = time.time()
-    for _ in range(reps):
+    for _ in range(3):
         tb = time.time()
         run_all()
         batch_times.append((time.time() - tb) / n_batches)
+    p50_batch_ms = float(np.median(batch_times) * 1e3)
+    # throughput: keep the device queue full, sync once
+    t0 = time.time()
+    res = None
+    for _ in range(reps):
+        for b in range(n_batches):
+            res = search_batch_jit(
+                index, qc_dev[b], qv_dev[b], hf_dev, params,
+                layout.sketch_dim, layout.sketch_seed,
+            )
+    np.asarray(res[0]).ravel()[:1]
     elapsed = time.time() - t0
     qps = (reps * N_QUERIES) / elapsed
-    p50_batch_ms = float(np.median(batch_times) * 1e3)
 
     log(
         f"QPS={qps:.0f} recall@10={rec:.4f} p50_batch={p50_batch_ms:.2f}ms "
