@@ -71,6 +71,7 @@ class _IndexBase:
         self._token_to_id = token_to_id
         self._contents = contents
         self._device = None
+        self._use_pallas = False
         self._query_pad = DEFAULT_QUERY_PAD
 
     # ------------------------------------------------------------- plumbing
@@ -80,7 +81,17 @@ class _IndexBase:
 
     def _device_index(self):
         if self._device is None:
-            self._device = self._arrays.to_device()
+            import jax
+
+            # the Pallas fused scorer is the fast path on real TPUs;
+            # elsewhere (CPU tests) the XLA formulation compiles natively
+            self._use_pallas = (
+                jax.default_backend() == "tpu"
+                and self._arrays.doc_tiles is not None
+            )
+            self._device = self._arrays.to_device(
+                pallas_tiles=self._use_pallas
+            )
         return self._device
 
     def _invalidate_device(self):
@@ -165,6 +176,7 @@ class _IndexBase:
             doc_mode = (
                 "tiles" if self._arrays.doc_tiles is not None else "gather"
             )
+        self._device_index()  # resolves self._use_pallas
         if block_budget is None:
             block_budget = max(4 * k, 64)
         if cand_budget is None:
@@ -180,6 +192,7 @@ class _IndexBase:
             score_cut=score_cut,
             n_knn=n_knn,
             first_sorted=first_sorted,
+            use_pallas=getattr(self, "_use_pallas", False),
         )
 
     def _raw_batch_search(

@@ -307,7 +307,7 @@ def build_index(
         list_len=list_len,
         posting_block_local=np.concatenate(
             [posting_block_local,
-             np.zeros(max_list_len, dtype=np.int32)]
+             np.zeros(max_list_len + 256, dtype=np.int32)]
         ),
         block_sketch=block_sketch,
         block_sketch_scale=block_sketch_scale,
@@ -445,7 +445,7 @@ def _build_native(
     posting_block_local = np.concatenate(
         [
             res["posting_block_local"],
-            np.zeros(max_block_len + max_list_len, dtype=np.int32),
+            np.zeros(max_block_len + max_list_len + 256, dtype=np.int32),
         ]
     )
 

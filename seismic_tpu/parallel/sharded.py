@@ -59,6 +59,11 @@ def pad_shards_to_common_shapes(shards: List[IndexArrays]) -> List[IndexArrays]:
     # extra mll tail so every shard can slice [max_list_len] windows at any
     # of its real list offsets
     n_post = max(s.postings.shape[0] for s in shards) + mll
+    n_pbl = max(
+        (s.posting_block_local.shape[0] for s in shards
+         if s.posting_block_local is not None),
+        default=0,
+    ) + mll
     nbp = max(max(s.block_start.shape[0] for s in shards),
               max(int(s.list_n_blocks.sum()) for s in shards) + mb + 1)
     n_tile = max(
@@ -116,7 +121,7 @@ def pad_shards_to_common_shapes(shards: List[IndexArrays]) -> List[IndexArrays]:
             list_len=s.list_len,
             posting_block_local=None
             if s.posting_block_local is None
-            else _pad_rows(s.posting_block_local, n_post, 0),
+            else _pad_rows(s.posting_block_local, n_pbl, 0),
             block_sketch=None
             if s.block_sketch is None
             else _pad_rows(s.block_sketch, nbp, 0),

@@ -237,7 +237,6 @@ def _tiles_search(
 
     use_pallas = (
         (params.use_pallas or index.doc_tiles is None)
-        and params.full_lists
         and index.doc_tiles_aligned is not None
         and (B * QC) % 8 == 0
     )
