@@ -1,0 +1,97 @@
+"""Pallas TPU kernel: grouped doc-tile scorer (round-2 fast path).
+
+One grid step = one work item = one (group, subtile): stream a [SUB, V] u8
+doc tile HBM->VMEM (double-buffered by the Pallas pipeline) and score it
+against the group's M query projections with a single MXU matmul
+[M, V] @ (V, SUB) -> [M, SUB]. Compared to the round-1 kernel
+(ops/pallas_tiles.py), each streamed tile now serves M queries (the
+VERDICT's "invert the loop" item) and the work list is exact per subtile,
+so ragged list lengths cost no DMA or FLOPs.
+
+The work list and group layout come from the host planner
+(search/planner.py). Scalar-prefetched arrays drive all three
+data-dependent BlockSpecs.
+
+Constraints honored (probed on-device, see memory notes / round-1 probes):
+- block shapes (8, 128)-divisible in the last two dims (3D leading 1 ok):
+  M >= 8, V multiple of 128, SUB = 128;
+- per-row scales carried as [n_sub, 8, 128] replicated blocks;
+- no u8->f32 cast in Mosaic: tiles viewed int8, +256 where negative.
+
+Reference parity: this computes the same per-posting dot products as the
+reference's block scan (src/posting_list.rs:188-215) over every posting of
+the selected lists (the full_lists limit), restricted to the list's local
+vocabulary (overflow entries are re-added downstream).
+"""
+
+from __future__ import annotations
+
+SUB = 128
+
+
+def score_grouped_pallas(
+    doc_tiles_i8,  # int8 [n_sub_total * SUB, V]
+    tile_scale3d,  # f32 [n_sub_total, 8, 128]
+    qloc,  # f32 [G_cap, M, V] per-slot query projections
+    work_region,  # int32 [W_cap] subtile address per work item
+    work_g,  # int32 [W_cap] destination group
+    work_s,  # int32 [W_cap] subtile slot within group
+    ll_max: int,  # output row capacity per group (multiple of SUB)
+    interpret: bool = False,
+):
+    """Returns UNMASKED scores f32 [G_cap, M, ll_max]; blocks not covered
+    by a work item hold garbage (caller masks with group_nrows/slot
+    validity)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    G_cap, M, V = qloc.shape
+    W_cap = work_region.shape[0]
+    assert M % 8 == 0 and V % 128 == 0 and ll_max % SUB == 0
+
+    def kernel(region_ref, g_ref, s_ref, tile_ref, scale_ref, qloc_ref,
+               out_ref):
+        t = tile_ref[:].astype(jnp.float32)
+        t = t + jnp.where(t < 0, 256.0, 0.0)  # i8 bits -> u8 value
+        q = qloc_ref[0]  # [M, V]
+        s = jax.lax.dot_general(
+            q, t, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [M, SUB]
+        out_ref[0] = s * scale_ref[0, 0, :][None, :]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(W_cap,),
+        in_specs=[
+            pl.BlockSpec(
+                (SUB, V),
+                lambda w, region, g, s: (region[w], 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 8, 128),
+                lambda w, region, g, s: (region[w], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, M, V),
+                lambda w, region, g, s: (g[w], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, M, SUB),
+            lambda w, region, g, s: (g[w], 0, s[w]),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((G_cap, M, ll_max), jnp.float32),
+        interpret=interpret,
+    )(work_region, work_g, work_s, doc_tiles_i8, tile_scale3d, qloc)

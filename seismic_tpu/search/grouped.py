@@ -1,0 +1,258 @@
+"""Grouped batch search: the round-2 throughput path.
+
+Pipeline (host planner -> device program):
+
+  host   1. top-`query_cut` terms per query, (query, list) pairs grouped
+            by list into M-slot groups, exact per-subtile work list
+            (search/planner.py)
+  device 2. per-slot query projections onto each group's local vocabulary
+            (compare-einsum; gather-free w.r.t. the dense query)
+         3. grouped Pallas scorer: each [SUB, V] u8 doc tile streamed once
+            per group, scored for all M member queries with one MXU matmul
+            (ops/pallas_grouped.py)
+         4. per-slot top-t candidates -> regroup to query order via the
+            planner's pair_slot table
+         5. overflow re-rank (out-of-vocab dot mass) + dedup (visited set)
+            + final top-k
+
+Reference parity: same result contract as InvertedIndexBase::search over
+the selected lists in the exhaustive-scan limit (heap_factor -> 0,
+src/inverted_index.rs:153-234); the heap/skip adaptivity is replaced by
+tile-exact scoring of every selected posting (full-lists) or by the
+planner's block-pruned work list (see plan_grouped_pruned, round 2+).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.sparse import PAD_COMPONENT
+from ..ops.pallas_grouped import SUB, score_grouped_pallas
+from ..types import DeviceIndex
+from .planner import GroupedPlan, PlannerContext, plan_grouped
+
+
+@dataclass(frozen=True)
+class GroupedParams:
+    """Static (compile-time) parameters of the grouped search program."""
+
+    k: int = 10
+    # query terms participating in tile scoring (and overflow re-rank)
+    score_cut: int = 64
+    # candidates kept per (query, list) pair before regrouping
+    pair_top: int = 16
+    # per-query pool re-ranked with overflow entries and deduped
+    pool: int = 128
+    # apply the out-of-vocab overflow correction (requires tile_ovf arrays)
+    use_ovf: bool = True
+    n_knn: int = 0
+
+
+@dataclass
+class DevicePlan:
+    """Device-resident mirror of GroupedPlan (pytree)."""
+
+    group_list: object
+    group_region: object
+    group_nrows: object
+    slot_b: object
+    work_region: object
+    work_g: object
+    work_s: object
+    pair_slot: object
+    pair_pstart: object
+    pair_valid: object
+    M: int = 8
+
+    @staticmethod
+    def put(plan: GroupedPlan, device=None):
+        def up(a):
+            return jax.device_put(jnp.asarray(a), device)
+
+        return DevicePlan(
+            group_list=up(plan.group_list),
+            group_region=up(plan.group_region),
+            group_nrows=up(plan.group_nrows),
+            slot_b=up(plan.slot_b),
+            work_region=up(plan.work_region),
+            work_g=up(plan.work_g),
+            work_s=up(plan.work_s),
+            pair_slot=up(plan.pair_slot),
+            pair_pstart=up(plan.pair_pstart),
+            pair_valid=up(plan.pair_valid),
+            M=plan.M,
+        )
+
+
+def _register_device_plan():
+    fields = [f.name for f in dataclasses.fields(DevicePlan)
+              if f.name != "M"]
+
+    def flatten(p):
+        return tuple(getattr(p, f) for f in fields), (p.M,)
+
+    def unflatten(aux, children):
+        return DevicePlan(**dict(zip(fields, children)), M=aux[0])
+
+    jax.tree_util.register_pytree_node(DevicePlan, flatten, unflatten)
+
+
+_register_device_plan()
+
+
+def _ovf_correction(index: DeviceIndex, top_c, top_v, top_scores, safe_post):
+    """Re-rank a candidate pool with each occurrence's out-of-vocab
+    overflow entries: adds back the dot mass the local-vocab tile
+    truncates. top_c/top_v: [B, sc] the query's top terms."""
+    oc = index.tile_ovf_comps[safe_post].astype(jnp.int32)  # [B, pool, O]
+    ov = index.tile_ovf_vals[safe_post].astype(jnp.float32)
+    eq = oc[..., None] == top_c[:, None, None, :]  # [B, pool, O, sc]
+    qmatch = jnp.einsum(
+        "bpos,bs->bpo",
+        eq.astype(jnp.float32),
+        top_v,
+        preferred_element_type=jnp.float32,
+    )
+    correction = jnp.sum(qmatch * ov, axis=-1)
+    return jnp.where(
+        jnp.isfinite(top_scores), top_scores + correction, top_scores
+    )
+
+
+def _grouped_impl(
+    index: DeviceIndex,
+    plan: DevicePlan,
+    q_comps,  # [B, Q] int32 PAD_COMPONENT padded
+    q_vals,  # [B, Q] f32
+    params: GroupedParams,
+):
+    from .engine import _dedup_by_id, _knn_refine, densify_query_batch
+
+    B, Q = q_comps.shape
+    G_cap, M = plan.slot_b.shape
+    V = index.list_vocab.shape[1]
+    n_docs = index.n_docs
+    k = params.k
+    from ..ops_pallas_prep import ll_pad_for
+
+    LLMAX = ll_pad_for(index.max_list_len)
+
+    valid_q = q_comps != PAD_COMPONENT
+    qv = jnp.where(valid_q, q_vals, 0.0)
+    sc = min(params.score_cut, Q)
+    if sc < Q:
+        top_v, top_p = jax.lax.top_k(qv, sc)
+        top_c = jnp.take_along_axis(q_comps, top_p, axis=1)  # [B, sc]
+    else:
+        top_v, top_c = qv, q_comps
+
+    # ---- per-slot query projections onto group vocabularies ----
+    sb = jnp.minimum(plan.slot_b, B - 1)
+    slot_tc = top_c[sb]  # [G_cap, M, sc]
+    slot_tv = top_v[sb]
+    vocab = index.list_vocab[plan.group_list].astype(jnp.int32)  # [G_cap, V]
+    eq = (vocab[:, None, :, None] == slot_tc[:, :, None, :]).astype(
+        jnp.float32
+    )
+    qloc = jnp.einsum(
+        "gmvi,gmi->gmv", eq, slot_tv, preferred_element_type=jnp.float32
+    )  # [G_cap, M, V]
+
+    # ---- grouped tile scoring on the MXU ----
+    scores = score_grouped_pallas(
+        index.doc_tiles_aligned,
+        index.tile_scale3d,
+        qloc,
+        plan.work_region,
+        plan.work_g,
+        plan.work_s,
+        LLMAX,
+        interpret=jax.default_backend() != "tpu",
+    )  # [G_cap, M, LLMAX]
+
+    rows_ok = (
+        jnp.arange(LLMAX, dtype=jnp.int32)[None, None, :]
+        < plan.group_nrows[:, None, None]
+    )
+    slot_ok = plan.slot_b < B
+    scores = jnp.where(rows_ok & slot_ok[..., None], scores, -jnp.inf)
+
+    # ---- per-slot top-t, regrouped to query order ----
+    t = min(params.pair_top, LLMAX)
+    val, idx = jax.lax.top_k(scores, t)  # [G_cap, M, t]
+    flat_val = val.reshape(G_cap * M, t)
+    flat_idx = idx.reshape(G_cap * M, t).astype(jnp.int32)
+    pv = flat_val[plan.pair_slot]  # [B, QC, t]
+    pi = flat_idx[plan.pair_slot]
+    pv = jnp.where(plan.pair_valid[..., None], pv, -jnp.inf)
+    post_pos = plan.pair_pstart[..., None] + pi  # packed posting positions
+    QC = plan.pair_slot.shape[1]
+    CAND = QC * t
+    pv = pv.reshape(B, CAND)
+    post_pos = post_pos.reshape(B, CAND)
+
+    # ---- per-query pool + overflow re-rank + dedup + top-k ----
+    pool = min(params.pool if params.pool > 0 else 8 * k, CAND)
+    top_scores, sel = jax.lax.top_k(pv, pool)
+    post_sel = jnp.take_along_axis(post_pos, sel, axis=1)
+    safe_post = jnp.clip(post_sel, 0, index.postings.shape[0] - 1)
+    cand_ids = jnp.take(index.postings, safe_post)
+    cand_ids = jnp.where(jnp.isfinite(top_scores), cand_ids, n_docs)
+
+    if params.use_ovf and index.tile_ovf_comps is not None:
+        top_scores = _ovf_correction(
+            index, top_c, top_v, top_scores, safe_post
+        )
+
+    dscores, dids = _dedup_by_id(top_scores, cand_ids, n_docs)
+    out_scores, opos = jax.lax.top_k(dscores, k)
+    out_ids = jnp.take_along_axis(dids, opos, axis=1)
+
+    if params.n_knn > 0 and index.knn is not None:
+        from .engine import SearchParams
+
+        qd = densify_query_batch(q_comps, qv, index.dim)
+        out_scores, out_ids = _knn_refine(
+            index,
+            SearchParams(k=k, n_knn=params.n_knn),
+            qd,
+            out_scores,
+            out_ids,
+        )
+
+    out_ids = jnp.where(jnp.isfinite(out_scores), out_ids, -1)
+    return out_scores, out_ids
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def search_grouped_jit(index, plan, q_comps, q_vals, params):
+    return _grouped_impl(index, plan, q_comps, q_vals, params)
+
+
+def search_grouped(
+    index: DeviceIndex,
+    ctx: PlannerContext,
+    q_comps: np.ndarray,
+    q_vals: np.ndarray,
+    params: GroupedParams,
+    query_cut: int = 10,
+    M: int = 8,
+):
+    """Convenience wrapper: plan on host, execute on device, numpy out."""
+    plan = plan_grouped(q_comps, q_vals, ctx, query_cut, M=M)
+    dplan = DevicePlan.put(plan)
+    scores, ids = search_grouped_jit(
+        index,
+        dplan,
+        jnp.asarray(q_comps, jnp.int32),
+        jnp.asarray(q_vals, jnp.float32),
+        params,
+    )
+    return np.asarray(scores), np.asarray(ids)

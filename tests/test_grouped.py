@@ -1,0 +1,140 @@
+"""Grouped (list-major, tile-reusing) search path: planner invariants and
+end-to-end parity with the round-1 tiles path / exact oracle.
+
+The Pallas kernel runs in Mosaic interpret mode on CPU here; on-TPU
+bit-equality is asserted by the bench preamble (bench.py)."""
+
+import numpy as np
+import pytest
+
+from seismic_tpu import Configuration, SearchParams, TpuLayout
+from seismic_tpu.build.builder import build_index
+from seismic_tpu.ops.pallas_grouped import SUB
+from seismic_tpu.search.engine import pad_queries, search_batch
+from seismic_tpu.search.exact import exact_search_numpy
+from seismic_tpu.search.grouped import (
+    GroupedParams,
+    search_grouped,
+)
+from seismic_tpu.search.planner import PlannerContext, plan_grouped
+from tests.conftest import make_random_dataset, make_random_queries
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(0)
+    ds = make_random_dataset(rng, n_docs=400, dim=600, min_nnz=15,
+                             max_nnz=50, seed=42)
+    cfg = Configuration(layout=TpuLayout(max_block_len=16,
+                                         summary_vocab_cap=256,
+                                         tile_overflow=16))
+    arrays = build_index(ds, cfg)
+    qc, qv = make_random_queries(np.random.default_rng(1), n_queries=16,
+                                 dim=600, min_nnz=8, max_nnz=30)
+    q_comps, q_vals = pad_queries(qc, qv, 64)
+    _, gt_i = exact_search_numpy(ds, q_comps, q_vals, k=10)
+    ctx = PlannerContext.from_arrays(arrays)
+    return ds, arrays, ctx, q_comps, q_vals, gt_i
+
+
+def _recall(ids, gt_ids, k=10):
+    hits = tot = 0
+    for row, gt in zip(ids, gt_ids):
+        r = {int(d) for d in row[:k] if d >= 0}
+        g = {int(d) for d in gt[:k] if d >= 0}
+        hits += len(r & g)
+        tot += len(g)
+    return hits / max(tot, 1)
+
+
+def test_planner_invariants(setup):
+    _, arrays, ctx, q_comps, q_vals, _ = setup
+    QC, M = 10, 8
+    plan = plan_grouped(q_comps, q_vals, ctx, QC, M=M)
+    B = q_comps.shape[0]
+
+    # every valid pair maps to a unique slot of a real group
+    slots = plan.pair_slot[plan.pair_valid]
+    assert len(set(slots.tolist())) == len(slots)
+    assert (slots < plan.G * M).all()
+
+    # slot_b inverse-maps back to the pair's query
+    g, m = slots // M, slots % M
+    bb = np.nonzero(plan.pair_valid)[0]
+    assert (plan.slot_b[g, m] == bb).all()
+
+    # groups are homogeneous: all slots of a group share one list, and the
+    # group's metadata matches that list
+    for gi in range(plan.G):
+        l = plan.group_list[gi]
+        assert plan.group_region[gi] == ctx.list_region_start[l]
+        assert plan.group_nrows[gi] == ctx.list_len[l]
+    # padding groups are inert
+    assert (plan.group_nrows[plan.G:] == 0).all()
+    assert (plan.slot_b[plan.G:] == B).all()
+
+    # work items cover each real group's subtiles exactly once
+    nsub = np.maximum(1, -(-plan.group_nrows[: plan.G] // SUB))
+    assert plan.W == nsub.sum()
+    wg = plan.work_g[: plan.W]
+    ws = plan.work_s[: plan.W]
+    for gi in range(plan.G):
+        s = np.sort(ws[wg == gi])
+        assert (s == np.arange(nsub[gi])).all()
+    assert (
+        plan.work_region[: plan.W]
+        == plan.group_region[wg] + ws
+    ).all()
+    # padded work items dump into the (inert) group G at the zero region
+    assert (plan.work_g[plan.W:] == plan.G).all()
+    assert (plan.work_region[plan.W:] == ctx.zero_region).all()
+
+
+def test_grouped_matches_tiles_path(setup):
+    ds, arrays, ctx, q_comps, q_vals, gt_i = setup
+    dev = arrays.to_device(pallas_tiles=True)
+
+    t_params = SearchParams(k=10, query_cut=10, doc_mode="tiles",
+                            full_lists=True, score_cut=64, dedup_pool=128)
+    s_ref, i_ref = search_batch(dev, q_comps, q_vals, t_params)
+
+    g_params = GroupedParams(k=10, score_cut=64, pair_top=16, pool=128)
+    s_new, i_new = search_grouped(dev, ctx, q_comps, q_vals, g_params,
+                                  query_cut=10, M=8)
+
+    r_ref, r_new = _recall(i_ref, gt_i), _recall(i_new, gt_i)
+    assert r_new >= r_ref - 0.02
+    # same scoring model -> top-1 should agree almost everywhere
+    agree = np.mean(
+        [s_new[b, 0] == pytest.approx(s_ref[b, 0], rel=1e-4)
+         for b in range(len(s_new))]
+    )
+    assert agree >= 0.9
+
+
+def test_grouped_no_duplicates_and_sorted(setup):
+    _, arrays, ctx, q_comps, q_vals, _ = setup
+    dev = arrays.to_device(pallas_tiles=True)
+    params = GroupedParams(k=10)
+    scores, ids = search_grouped(dev, ctx, q_comps, q_vals, params,
+                                 query_cut=10)
+    for srow, row in zip(scores, ids):
+        real = [int(d) for d in row if d >= 0]
+        assert len(real) == len(set(real))
+        fin = srow[np.isfinite(srow)]
+        assert (np.diff(fin) <= 1e-6).all()
+
+
+def test_grouped_various_m_and_qc(setup):
+    _, arrays, ctx, q_comps, q_vals, gt_i = setup
+    dev = arrays.to_device(pallas_tiles=True)
+    base = None
+    for M in (8, 16):
+        for qc in (5, 12):
+            params = GroupedParams(k=10, pair_top=8)
+            _, ids = search_grouped(dev, ctx, q_comps, q_vals, params,
+                                    query_cut=qc, M=M)
+            r = _recall(ids, gt_i)
+            if base is None:
+                base = r
+            assert r > 0.5
