@@ -46,8 +46,6 @@ class GroupedParams:
     k: int = 10
     # query terms participating in tile scoring (and overflow re-rank)
     score_cut: int = 64
-    # candidates kept per (query, list) pair before regrouping
-    pair_top: int = 16
     # per-query pool re-ranked with overflow entries and deduped
     pool: int = 128
     # apply the out-of-vocab overflow correction (requires tile_ovf arrays)
@@ -69,6 +67,9 @@ class DevicePlan:
     pair_slot: object
     pair_pstart: object
     pair_valid: object
+    pair_list: object
+    pair_len: object
+    slot_pair: object
     M: int = 8
 
     @staticmethod
@@ -87,6 +88,9 @@ class DevicePlan:
             pair_slot=up(plan.pair_slot),
             pair_pstart=up(plan.pair_pstart),
             pair_valid=up(plan.pair_valid),
+            pair_list=up(plan.pair_list),
+            pair_len=up(plan.pair_len),
+            slot_pair=up(plan.slot_pair),
             M=plan.M,
         )
 
@@ -153,17 +157,19 @@ def _grouped_impl(
     else:
         top_v, top_c = qv, q_comps
 
-    # ---- per-slot query projections onto group vocabularies ----
-    sb = jnp.minimum(plan.slot_b, B - 1)
-    slot_tc = top_c[sb]  # [G_cap, M, sc]
-    slot_tv = top_v[sb]
-    vocab = index.list_vocab[plan.group_list].astype(jnp.int32)  # [G_cap, V]
-    eq = (vocab[:, None, :, None] == slot_tc[:, :, None, :]).astype(
-        jnp.float32
+    # ---- per-pair query projections, expanded to slot order ----
+    # qloc is computed on the compact [B, QC] pair grid (the compare-einsum
+    # cost scales with real pairs, not padded slots) and then spread to the
+    # [G_cap, M] slot grid with a wide-row gather, which runs at HBM speed
+    # on this device (harness/profile_tiles.py measurement).
+    from .engine import _qloc_compare
+
+    QC = plan.pair_list.shape[1]
+    vocab = index.list_vocab[plan.pair_list].astype(jnp.int32)  # [B, QC, V]
+    qloc_pairs = _qloc_compare(vocab, q_comps, qv, sc)  # [B, QC, V]
+    qloc = qloc_pairs.reshape(B * QC, V)[plan.slot_pair].reshape(
+        G_cap, M, V
     )
-    qloc = jnp.einsum(
-        "gmvi,gmi->gmv", eq, slot_tv, preferred_element_type=jnp.float32
-    )  # [G_cap, M, V]
 
     # ---- grouped tile scoring on the MXU ----
     scores = score_grouped_pallas(
@@ -177,31 +183,23 @@ def _grouped_impl(
         interpret=jax.default_backend() != "tpu",
     )  # [G_cap, M, LLMAX]
 
+    # ---- regroup score rows to query order (wide-row gather: HBM-speed
+    # on this device) and pool per query, exactly like the round-1 tail ----
+    pv = scores.reshape(G_cap * M, LLMAX)[
+        plan.pair_slot.reshape(B * QC)
+    ].reshape(B, QC, LLMAX)
     rows_ok = (
         jnp.arange(LLMAX, dtype=jnp.int32)[None, None, :]
-        < plan.group_nrows[:, None, None]
-    )
-    slot_ok = plan.slot_b < B
-    scores = jnp.where(rows_ok & slot_ok[..., None], scores, -jnp.inf)
-
-    # ---- per-slot top-t, regrouped to query order ----
-    t = min(params.pair_top, LLMAX)
-    val, idx = jax.lax.top_k(scores, t)  # [G_cap, M, t]
-    flat_val = val.reshape(G_cap * M, t)
-    flat_idx = idx.reshape(G_cap * M, t).astype(jnp.int32)
-    pv = flat_val[plan.pair_slot]  # [B, QC, t]
-    pi = flat_idx[plan.pair_slot]
-    pv = jnp.where(plan.pair_valid[..., None], pv, -jnp.inf)
-    post_pos = plan.pair_pstart[..., None] + pi  # packed posting positions
-    QC = plan.pair_slot.shape[1]
-    CAND = QC * t
-    pv = pv.reshape(B, CAND)
-    post_pos = post_pos.reshape(B, CAND)
+        < plan.pair_len[..., None]
+    ) & plan.pair_valid[..., None]
+    pv = jnp.where(rows_ok, pv, -jnp.inf).reshape(B, QC * LLMAX)
 
     # ---- per-query pool + overflow re-rank + dedup + top-k ----
-    pool = min(params.pool if params.pool > 0 else 8 * k, CAND)
+    pool = min(params.pool if params.pool > 0 else 8 * k, QC * LLMAX)
     top_scores, sel = jax.lax.top_k(pv, pool)
-    post_sel = jnp.take_along_axis(post_pos, sel, axis=1)
+    qc_slot = sel // LLMAX
+    off = sel % LLMAX
+    post_sel = jnp.take_along_axis(plan.pair_pstart, qc_slot, axis=1) + off
     safe_post = jnp.clip(post_sel, 0, index.postings.shape[0] - 1)
     cand_ids = jnp.take(index.postings, safe_post)
     cand_ids = jnp.where(jnp.isfinite(top_scores), cand_ids, n_docs)

@@ -96,6 +96,9 @@ class GroupedPlan:
     pair_slot: np.ndarray  # int32 [B, QC] global slot (g*M + m)
     pair_pstart: np.ndarray  # int32 [B, QC] packed posting start
     pair_valid: np.ndarray  # bool [B, QC]
+    pair_list: np.ndarray  # int32 [B, QC] selected list per pair (0 = pad)
+    pair_len: np.ndarray  # int32 [B, QC] posting rows of the pair's list
+    slot_pair: np.ndarray  # int32 [G_cap * M] inverse map: slot -> b*QC+qc
 
     @property
     def G_cap(self) -> int:
@@ -212,10 +215,17 @@ def plan_grouped(
     pair_slot = np.full((B, QC), dump_slot, np.int32)
     pair_pstart = np.zeros((B, QC), np.int32)
     pair_valid = np.zeros((B, QC), bool)
+    pair_list = np.zeros((B, QC), np.int32)
+    pair_len = np.zeros((B, QC), np.int32)
+    slot_pair = np.zeros(G_cap * M, np.int32)
     if P:
-        pair_slot[sb, sq] = (g_of_pair * M + m_of_pair).astype(np.int32)
+        slot_index = (g_of_pair * M + m_of_pair).astype(np.int32)
+        pair_slot[sb, sq] = slot_index
         pair_pstart[sb, sq] = ctx.list_post_start[sl]
         pair_valid[sb, sq] = True
+        pair_list[sb, sq] = sl
+        pair_len[sb, sq] = ctx.list_len[sl]
+        slot_pair[slot_index] = sb.astype(np.int64) * QC + sq
 
     return GroupedPlan(
         M=M,
@@ -231,4 +241,7 @@ def plan_grouped(
         pair_slot=pair_slot,
         pair_pstart=pair_pstart,
         pair_valid=pair_valid,
+        pair_list=pair_list,
+        pair_len=pair_len,
+        slot_pair=slot_pair,
     )

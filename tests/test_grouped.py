@@ -60,8 +60,13 @@ def test_planner_invariants(setup):
 
     # slot_b inverse-maps back to the pair's query
     g, m = slots // M, slots % M
-    bb = np.nonzero(plan.pair_valid)[0]
+    bb, qq = np.nonzero(plan.pair_valid)
     assert (plan.slot_b[g, m] == bb).all()
+    # slot_pair is the exact inverse of pair_slot on valid pairs
+    assert (plan.slot_pair[slots] == bb * QC + qq).all()
+    # pair_list matches the planner's selection metadata
+    ll = plan.pair_list[plan.pair_valid]
+    assert (plan.group_list[g] == ll).all()
 
     # groups are homogeneous: all slots of a group share one list, and the
     # group's metadata matches that list
@@ -98,7 +103,7 @@ def test_grouped_matches_tiles_path(setup):
                             full_lists=True, score_cut=64, dedup_pool=128)
     s_ref, i_ref = search_batch(dev, q_comps, q_vals, t_params)
 
-    g_params = GroupedParams(k=10, score_cut=64, pair_top=16, pool=128)
+    g_params = GroupedParams(k=10, score_cut=64, pool=128)
     s_new, i_new = search_grouped(dev, ctx, q_comps, q_vals, g_params,
                                   query_cut=10, M=8)
 
@@ -131,7 +136,7 @@ def test_grouped_various_m_and_qc(setup):
     base = None
     for M in (8, 16):
         for qc in (5, 12):
-            params = GroupedParams(k=10, pair_top=8)
+            params = GroupedParams(k=10)
             _, ids = search_grouped(dev, ctx, q_comps, q_vals, params,
                                     query_cut=qc, M=M)
             r = _recall(ids, gt_i)
