@@ -38,7 +38,12 @@ def get_seismic_string() -> str:
 
 
 _U16_CAP = 1 << 16
-_U32_CAP = 1 << 32
+# LV component ids are stored as int32 everywhere (data/sparse.py, io.py),
+# and PAD_COMPONENT (2^31 - 1) is reserved as the padding sentinel — so the
+# true capacity is 2^31 - 1 ids, not the reference's u32 range
+# (reference: src/pylib/mod.rs:1163 SeismicIndexLV is u32; our int32 device
+# layout trades the top bit for TPU-native integer arithmetic).
+_U32_CAP = (1 << 31) - 1
 
 # Default query padding (queries longer than this keep their largest values).
 DEFAULT_QUERY_PAD = 128
@@ -111,6 +116,12 @@ class _IndexBase:
 
     @property
     def nnz(self) -> int:
+        """Dataset nnz (reference: src/pylib/mod.rs:110-113). Prefers the
+        source-dataset count recorded at build time; for old index files
+        falls back to counting forward-tile entries, which under-reports
+        when layout.max_doc_nnz truncated long documents."""
+        if self._arrays.dataset_nnz:
+            return int(self._arrays.dataset_nnz)
         return int(np.count_nonzero(self._arrays.fwd_comps != PAD_COMPONENT))
 
     @property

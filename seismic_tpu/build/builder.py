@@ -319,6 +319,7 @@ def build_index(
         max_blocks_per_list=max_blocks_per_list,
         max_block_len=max_block_len,
         max_list_len=max_list_len,
+        dataset_nnz=int(dataset.nnz),
         config=config,
     )
 
@@ -554,6 +555,7 @@ def _build_native(
         max_blocks_per_list=max_blocks_per_list,
         max_block_len=max_block_len,
         max_list_len=max_list_len,
+        dataset_nnz=int(dataset.nnz),
         config=config,
     )
 

@@ -46,6 +46,8 @@ def main():
     ap.add_argument("--pair-top", type=int, default=16)
     ap.add_argument("--pool", type=int, default=128)
     ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
+    ap.add_argument("--sc", type=int, default=64)
     ap.add_argument("--skip-ref", action="store_true")
     args = ap.parse_args()
 
@@ -96,7 +98,8 @@ def main():
     _sync(dplan.slot_b)
     print(f"plan upload: {(time.time()-t0)*1e3:.1f}ms", file=sys.stderr)
 
-    gp = GroupedParams(k=10, score_cut=64, pool=args.pool)
+    gp = GroupedParams(k=10, score_cut=args.sc, pool=args.pool,
+                       compute_dtype=args.dtype)
     t0 = time.time()
     out = search_grouped_jit(index, dplan, q_comps, q_vals, gp)
     _sync(out)

@@ -38,10 +38,17 @@ def score_grouped_pallas(
     work_s,  # int32 [W_cap] subtile slot within group
     ll_max: int,  # output row capacity per group (multiple of SUB)
     interpret: bool = False,
+    compute_dtype: str = "bf16",
 ):
     """Returns UNMASKED scores f32 [G_cap, M, ll_max]; blocks not covered
     by a work item hold garbage (caller masks with group_nrows/slot
-    validity)."""
+    validity).
+
+    compute_dtype "bf16" runs the matmul at the MXU's native width (u8
+    codes 0..255 are exact in bf16; only the qloc operand is rounded to
+    8 mantissa bits — below the u8 quantization error of the tiles);
+    "f32" is the exact-operand reference.
+    """
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -50,12 +57,13 @@ def score_grouped_pallas(
     G_cap, M, V = qloc.shape
     W_cap = work_region.shape[0]
     assert M % 8 == 0 and V % 128 == 0 and ll_max % SUB == 0
+    cdt = jnp.bfloat16 if compute_dtype == "bf16" else jnp.float32
 
     def kernel(region_ref, g_ref, s_ref, tile_ref, scale_ref, qloc_ref,
                out_ref):
-        t = tile_ref[:].astype(jnp.float32)
-        t = t + jnp.where(t < 0, 256.0, 0.0)  # i8 bits -> u8 value
-        q = qloc_ref[0]  # [M, V]
+        t = tile_ref[:].astype(cdt)
+        t = t + jnp.where(t < 0, cdt(256.0), cdt(0.0))  # i8 bits -> u8
+        q = qloc_ref[0].astype(cdt)  # [M, V]
         s = jax.lax.dot_general(
             q, t, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,

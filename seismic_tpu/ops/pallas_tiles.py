@@ -7,7 +7,7 @@ BlockSpec index_maps (driven by a scalar-prefetched array of per-pair
 region offsets) stream [SUB, V] u8 tiles HBM->VMEM double-buffered while
 the MXU computes the previous tile's [SUB, V] @ [V, 1] product.
 
-Constraints honored (probed on-device, harness/pallas_probe*.py):
+Constraints honored (probed on-device, harness/device_probe.py):
 - block shapes multiples of (8, 128) in the last two dims: SUB=128 rows,
   V multiple of 128; per-row scales carried in a [*, 8, 128] replicated
   layout so their blocks are legal;

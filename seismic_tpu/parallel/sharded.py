@@ -15,7 +15,10 @@ all-gather rides ICI.
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass
+import json
+import os
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
 from typing import List, Optional, Sequence
 
 import jax
@@ -165,6 +168,12 @@ class ShardedIndex:
     n_shards: int
     total_docs: int
     config: Optional[Configuration] = None
+    # host copies of the (padded) per-shard arrays, kept for save();
+    # None when the index was built elsewhere and not loaded from disk
+    host_shards: Optional[List[IndexArrays]] = field(
+        default=None, repr=False
+    )
+    host_offsets: Optional[List[int]] = None
 
     @staticmethod
     def build(
@@ -173,25 +182,38 @@ class ShardedIndex:
         config: Optional[Configuration] = None,
         value_dtype: str = "f32",
         progress: bool = False,
+        n_workers: int = 0,
     ) -> "ShardedIndex":
         """Split the collection into contiguous shards, build one index per
         shard (embarrassingly parallel, like the reference's per-list rayon
-        build), pad to common shapes, stack, and lay out over the mesh."""
+        build), pad to common shapes, stack, and lay out over the mesh.
+
+        n_workers > 1 builds shards concurrently in a thread pool (the
+        native build core releases the GIL inside the C++ call, so threads
+        scale on multi-core hosts); 0 = one worker per shard capped at
+        os.cpu_count().
+        """
         from ..build.builder import build_index
 
         config = config or Configuration()
         n_shards = mesh.shape["docs"]
         n = len(dataset)
         bounds = np.linspace(0, n, n_shards + 1).astype(np.int64)
-        shards, offsets = [], []
-        for s in range(n_shards):
+        offsets = [int(bounds[s]) for s in range(n_shards)]
+
+        def build_one(s):
             lo, hi = int(bounds[s]), int(bounds[s + 1])
             sub = dataset.subset(np.arange(lo, hi))
-            shards.append(
-                build_index(sub, config, value_dtype=value_dtype,
-                            progress=progress)
-            )
-            offsets.append(lo)
+            return build_index(sub, config, value_dtype=value_dtype,
+                               progress=progress)
+
+        if n_workers == 0:
+            n_workers = min(n_shards, os.cpu_count() or 1)
+        if n_workers > 1:
+            with ThreadPoolExecutor(max_workers=n_workers) as ex:
+                shards = list(ex.map(build_one, range(n_shards)))
+        else:
+            shards = [build_one(s) for s in range(n_shards)]
         return ShardedIndex.from_shards(shards, offsets, mesh, n, config)
 
     @staticmethod
@@ -222,6 +244,63 @@ class ShardedIndex:
             n_shards=len(shards),
             total_docs=total_docs,
             config=config,
+            host_shards=shards,
+            host_offsets=[int(o) for o in doc_offsets],
+        )
+
+    # ------------------------------------------------------------ save/load
+    def save(self, path: str) -> str:
+        """Persist to `<path>/` — one `.index.seismic_tpu` file per shard
+        plus a JSON manifest. Mirrors the reference's "build once, query
+        many" index persistence (IndexSerializer, inverted_index.rs:54-59)
+        extended with the shard layout.
+        """
+        if self.host_shards is None:
+            raise ValueError(
+                "this ShardedIndex holds no host-side shard arrays "
+                "(constructed from device state); rebuild or load from disk "
+                "before saving"
+            )
+        os.makedirs(path, exist_ok=True)
+        for i, s in enumerate(self.host_shards):
+            s.save(os.path.join(path, f"shard{i}"))
+        manifest = {
+            "n_shards": self.n_shards,
+            "total_docs": self.total_docs,
+            "doc_offsets": self.host_offsets,
+            "config": self.config.to_dict() if self.config else None,
+        }
+        with open(os.path.join(path, "sharded.json"), "w") as f:
+            json.dump(manifest, f)
+        return path
+
+    @staticmethod
+    def load(path: str, mesh: Mesh) -> "ShardedIndex":
+        """Load a saved sharded index onto `mesh` (the "docs" axis size must
+        match the saved shard count)."""
+        with open(os.path.join(path, "sharded.json")) as f:
+            manifest = json.load(f)
+        n_shards = manifest["n_shards"]
+        if mesh.shape["docs"] != n_shards:
+            raise ValueError(
+                f"saved index has {n_shards} shards but mesh 'docs' axis "
+                f"is {mesh.shape['docs']}"
+            )
+        shards = [
+            IndexArrays.load(os.path.join(path, f"shard{i}"))
+            for i in range(n_shards)
+        ]
+        config = (
+            Configuration.from_dict(manifest["config"])
+            if manifest["config"]
+            else None
+        )
+        return ShardedIndex.from_shards(
+            shards,
+            manifest["doc_offsets"],
+            mesh,
+            manifest["total_docs"],
+            config,
         )
 
     # ------------------------------------------------------------- search
@@ -251,6 +330,24 @@ class ShardedIndex:
         return np.asarray(scores), np.asarray(ids)
 
 
+def merge_topk_across_docs(scores, gids, axis_name: str = "docs"):
+    """Merge per-shard top-k results across the docs mesh axis: all-gather
+    [n_shards, B, k] candidates (rides ICI within a host, DCN across
+    hosts), then a deterministic (score desc, global id asc) sort-merge.
+    Runs inside shard_map; every shard returns the identical merged
+    result."""
+    all_s = jax.lax.all_gather(scores, axis_name)  # [S, B, k]
+    all_i = jax.lax.all_gather(gids, axis_name)
+    S, B, k = all_s.shape
+    flat_s = jnp.transpose(all_s, (1, 0, 2)).reshape(B, S * k)
+    flat_i = jnp.transpose(all_i, (1, 0, 2)).reshape(B, S * k)
+    sort_id = jnp.where(flat_i >= 0, flat_i, jnp.int32(2**31 - 1))
+    neg_s, _, out_i = jax.lax.sort(
+        (-flat_s, sort_id, flat_i), dimension=-1, num_keys=2
+    )
+    return -neg_s[:, :k], out_i[:, :k]
+
+
 @functools.lru_cache(maxsize=None)
 def _make_sharded_search(mesh, params, sketch_dim, sketch_seed):
     """Build (and cache) the jitted SPMD search for one (mesh, params)."""
@@ -262,18 +359,7 @@ def _make_sharded_search(mesh, params, sketch_dim, sketch_seed):
             local, q_comps, q_vals, hf, params, sketch_dim, sketch_seed
         )
         gids = jnp.where(ids >= 0, ids + doc_offset[0], jnp.int32(-1))
-        # merge across the docs axis: all-gather [n_shards, B, k] then top-k
-        all_s = jax.lax.all_gather(scores, "docs")  # [S, B, k]
-        all_i = jax.lax.all_gather(gids, "docs")
-        S, B, k = all_s.shape
-        flat_s = jnp.transpose(all_s, (1, 0, 2)).reshape(B, S * k)
-        flat_i = jnp.transpose(all_i, (1, 0, 2)).reshape(B, S * k)
-        # deterministic tie-break: sort by (score desc, id asc)
-        sort_id = jnp.where(flat_i >= 0, flat_i, jnp.int32(2**31 - 1))
-        neg_s, _, out_i = jax.lax.sort(
-            (-flat_s, sort_id, flat_i), dimension=-1, num_keys=2
-        )
-        return -neg_s[:, :k], out_i[:, :k]
+        return merge_topk_across_docs(scores, gids)
 
     jitted = {}
 

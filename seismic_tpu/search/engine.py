@@ -238,23 +238,32 @@ def _tiles_search(
     use_pallas = (
         (params.use_pallas or index.doc_tiles is None)
         and index.doc_tiles_aligned is not None
-        and (B * QC) % 8 == 0
     )
     if use_pallas:
-        from ..ops.pallas_tiles import score_tiles_pallas
+        from ..ops.pallas_tiles import GROUP, score_tiles_pallas
         from ..ops_pallas_prep import ll_pad_for
 
         LL = ll_pad_for(index.max_list_len)
-        tb_idx = index.list_region_start[safe_lists].reshape(B * QC)
+        BQ = B * QC
+        # The kernel grid requires BQ % GROUP == 0; pad extra rows against
+        # region 0 (always valid memory) with zero query projections and
+        # slice them off. Keeps the Pallas path total: an index uploaded
+        # with pallas_tiles=True has no doc_tiles for the XLA branch.
+        BQ_pad = -(-BQ // GROUP) * GROUP
+        tb_idx = index.list_region_start[safe_lists].reshape(BQ)
+        qloc_flat = qloc.reshape(BQ, V)
+        if BQ_pad != BQ:
+            tb_idx = jnp.pad(tb_idx, (0, BQ_pad - BQ))
+            qloc_flat = jnp.pad(qloc_flat, ((0, BQ_pad - BQ), (0, 0)))
         flat = score_tiles_pallas(
             index.doc_tiles_aligned,
             index.tile_scale3d,
             tb_idx,
-            qloc.reshape(B * QC, V),
+            qloc_flat,
             LL,
             interpret=jax.default_backend() != "tpu",
         )
-        scores = flat.reshape(B, QC, LL)
+        scores = flat[:BQ].reshape(B, QC, LL)
     else:
         # Sequential over the query_cut axis: bounds the materialized
         # sliced tiles to [B, LL, V] per step (vmapping both axes would
@@ -316,12 +325,14 @@ def _tiles_search(
             )
 
         pblock = jax.vmap(jax.vmap(post_block_one))(lps)  # [B, QC, LL]
-        # membership via compare-sum (gather-free)
-        keep_post = jnp.zeros((B, QC, LL), dtype=bool)
-        for m in range(MB):
-            keep_post = keep_post | (
-                (pblock == m) & keep_block[:, :, m : m + 1]
-            )
+        # membership via a per-row gather of keep_block at each posting's
+        # local block id (one op regardless of MB; an unrolled compare loop
+        # blows up compile time and memory at reference-default MB)
+        keep_post = jnp.take_along_axis(
+            keep_block,
+            jnp.clip(pblock, 0, MB - 1).astype(jnp.int32),
+            axis=-1,
+        )
         pos_mask = pos_mask & keep_post
 
     scores = jnp.where(pos_mask, scores, -jnp.inf)

@@ -51,6 +51,9 @@ class GroupedParams:
     # apply the out-of-vocab overflow correction (requires tile_ovf arrays)
     use_ovf: bool = True
     n_knn: int = 0
+    # kernel matmul width: "bf16" = MXU-native (u8 codes exact; qloc
+    # rounded to 8 mantissa bits), "f32" = exact-operand reference
+    compute_dtype: str = "bf16"
 
 
 @dataclass
@@ -181,6 +184,7 @@ def _grouped_impl(
         plan.work_s,
         LLMAX,
         interpret=jax.default_backend() != "tpu",
+        compute_dtype=params.compute_dtype,
     )  # [G_cap, M, LLMAX]
 
     # ---- regroup score rows to query order (wide-row gather: HBM-speed

@@ -101,6 +101,9 @@ class IndexArrays:
     max_blocks_per_list: int = 0
     max_block_len: int = 0
     max_list_len: int = 0
+    # nnz of the SOURCE dataset (before any max_doc_nnz truncation of the
+    # padded forward tiles); 0 = unknown (pre-v2 index files)
+    dataset_nnz: int = 0
     config: Optional[Configuration] = None
 
     # ------------------------------------------------------------------
@@ -231,6 +234,7 @@ class IndexArrays:
             "max_blocks_per_list": self.max_blocks_per_list,
             "max_block_len": self.max_block_len,
             "max_list_len": self.max_list_len,
+            "dataset_nnz": self.dataset_nnz,
             "config": self.config.to_dict() if self.config else None,
         }
         arrays["__meta__"] = np.frombuffer(
@@ -267,6 +271,7 @@ class IndexArrays:
             max_blocks_per_list=meta["max_blocks_per_list"],
             max_block_len=meta["max_block_len"],
             max_list_len=meta.get("max_list_len", 0),
+            dataset_nnz=meta.get("dataset_nnz", 0),
             config=cfg,
             **kwargs,
         )

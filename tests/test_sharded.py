@@ -97,3 +97,46 @@ def test_sharded_tiles_mode(setup):
     )
     tot = sum(len(set(map(int, g[g >= 0]))) for g in gt_i)
     assert hits / tot >= 0.9
+
+
+def test_sharded_save_load_roundtrip(setup, tmp_path):
+    """ShardedIndex.save/load preserves search results (lifecycle parity
+    with the reference's index persistence)."""
+    ds, cfg, q_comps, q_vals = setup
+    mesh = make_mesh(n_docs_shards=2, n_data=1)
+    sharded = ShardedIndex.build(ds, mesh, cfg)
+    params = SearchParams(k=10, query_cut=10, block_budget=0)
+    s0, i0 = sharded.search_batch(q_comps, q_vals, params, heap_factor=0.0)
+
+    path = str(tmp_path / "sharded_idx")
+    sharded.save(path)
+    loaded = ShardedIndex.load(path, mesh)
+    assert loaded.total_docs == sharded.total_docs
+    assert loaded.n_shards == 2
+    s1, i1 = loaded.search_batch(q_comps, q_vals, params, heap_factor=0.0)
+    assert np.array_equal(i0, i1)
+    assert np.allclose(s0, s1)
+
+
+def test_sharded_load_wrong_mesh_raises(setup, tmp_path):
+    ds, cfg, q_comps, q_vals = setup
+    mesh2 = make_mesh(n_docs_shards=2, n_data=1)
+    sharded = ShardedIndex.build(ds, mesh2, cfg)
+    path = str(tmp_path / "sharded_idx2")
+    sharded.save(path)
+    mesh4 = make_mesh(n_docs_shards=4, n_data=1)
+    with pytest.raises(ValueError, match="shards"):
+        ShardedIndex.load(path, mesh4)
+
+
+def test_parallel_shard_build_matches_sequential(setup):
+    """Thread-pool shard builds produce the same index as sequential."""
+    ds, cfg, q_comps, q_vals = setup
+    mesh = make_mesh(n_docs_shards=2, n_data=1)
+    a = ShardedIndex.build(ds, mesh, cfg, n_workers=1)
+    b = ShardedIndex.build(ds, mesh, cfg, n_workers=2)
+    params = SearchParams(k=10, query_cut=10, block_budget=0)
+    sa, ia = a.search_batch(q_comps, q_vals, params, heap_factor=0.0)
+    sb, ib = b.search_batch(q_comps, q_vals, params, heap_factor=0.0)
+    assert np.array_equal(ia, ib)
+    assert np.allclose(sa, sb)
