@@ -3,14 +3,23 @@
 MS MARCO/SPLADE-shaped collection (BASELINE.json north star).
 
 Prints ONE JSON line to stdout:
-  {"metric": ..., "value": QPS, "unit": "qps", "vs_baseline": QPS / 5405}
+  {"metric": ..., "value": QPS, "unit": "qps", "vs_baseline": QPS / 5405,
+   "p50_ms": {...}, "recall_at_10": ..., "streamed_kb_per_query": ...,
+   "pallas_gate": ...}
 
 vs_baseline is relative to the reference's single-thread CPU average query
 time of 185 us/query (~5405 QPS) on MS MARCO SPLADE-v3 (reference
 README.md:110-115); the driver's target is >= 50x.
 
-The index build (NumPy k-means at this scale) is cached under .bench_cache/
-so repeated runs only measure the query path. All progress goes to stderr.
+The measured path is the grouped (list-major) search: the host planner
+groups each batch's (query, list) pairs by posting list and the Pallas
+kernel streams each list's doc tiles once per group (search/grouped.py).
+The throughput loop re-plans every batch on the host — planning overlaps
+device execution through JAX's async dispatch, exactly as a pipelined
+serving process would run.
+
+The index build is cached under .bench_cache/ (directory format, mmap) so
+repeated runs only measure the query path. All progress goes to stderr.
 """
 
 import json
@@ -36,17 +45,8 @@ BASELINE_QPS = 1e6 / 185.0  # reference single-thread CPU AQT
 V_CAP = int(os.environ.get("BENCH_V_CAP", 1024))
 TILE_OVERFLOW = int(os.environ.get("BENCH_TILE_OVERFLOW", 64))
 
-# (query_cut, heap_factor, full_lists, block_budget): accuracy ladder for
-# the tiles mode (full_lists ignores hf/budget and scans selected lists)
-LADDER = [
-    (10, 0.0, True, 0),
-    (11, 0.0, True, 0),
-    (12, 0.0, True, 0),
-    (14, 0.0, True, 0),
-    (16, 0.0, True, 0),
-    (20, 0.0, True, 0),
-    (30, 0.0, True, 0),
-]
+# query_cut ladder for the grouped path (exhaustive scan of selected lists)
+QC_LADDER = [10, 11, 12, 14, 16, 20, 30]
 
 
 def log(*a):
@@ -54,15 +54,13 @@ def log(*a):
 
 
 def get_dataset():
-    from seismic_tpu.data import io as data_io
+    from seismic_tpu.data.sparse import CsrDataset
     from seismic_tpu.harness.synth import synth_dataset
 
     os.makedirs(CACHE, exist_ok=True)
     path = os.path.join(CACHE, f"docs_{N_DOCS}_{DIM}.npz")
     if os.path.exists(path):
         with np.load(path) as z:
-            from seismic_tpu.data.sparse import CsrDataset
-
             return CsrDataset(z["offsets"], z["components"], z["values"], DIM)
     t = time.time()
     ds = synth_dataset(N_DOCS, dim=DIM, seed=7)
@@ -84,14 +82,21 @@ def get_index(ds):
     )
     from seismic_tpu.types import IndexArrays
 
-    path = os.path.join(
+    base = os.path.join(
         CACHE, f"index_{N_DOCS}_{DIM}_{N_POSTINGS}_v{V_CAP}_o{TILE_OVERFLOW}"
     )
-    full = path + ".index.seismic_tpu"
-    if os.path.exists(full):
+    dirpath = base + ".dir"
+    legacy = base + ".index.seismic_tpu"
+    if os.path.isdir(dirpath):
         t = time.time()
-        arrays = IndexArrays.load(full)
-        log(f"index loaded from cache: {time.time()-t:.1f}s")
+        arrays = IndexArrays.load_dir(dirpath)
+        log(f"index mmap-loaded from cache: {time.time()-t:.2f}s")
+        return arrays
+    if os.path.exists(legacy):
+        t = time.time()
+        arrays = IndexArrays.load(legacy)
+        log(f"index loaded from legacy npz: {time.time()-t:.1f}s")
+        arrays.save_dir(dirpath)
         return arrays
     from seismic_tpu.build.builder import build_index
 
@@ -107,8 +112,8 @@ def get_index(ds):
     arrays = build_index(ds, cfg, value_dtype="f32", progress=True)
     build_secs = time.time() - t
     log(f"index build: {build_secs:.1f}s")
-    arrays.save(path)
-    with open(path + ".buildtime.json", "w") as f:
+    arrays.save_dir(dirpath)
+    with open(base + ".buildtime.json", "w") as f:
         json.dump({"build_secs": build_secs}, f)
     return arrays
 
@@ -137,111 +142,196 @@ def recall_at_k(ids, gt_ids):
     return hits / max(tot, 1)
 
 
-def main():
-    t_all = time.time()
+def _sync(out):
+    np.asarray(out[0]).ravel()[:1]
+    return out
+
+
+def pallas_gate():
+    """On-TPU correctness gate: the grouped Pallas scorer (f32 exact
+    config) must reproduce the XLA dynamic-slice formulation's results on
+    a small nontrivial index on the REAL device (VERDICT round-1 weak #6;
+    CPU CI covers interpret mode only)."""
     import jax
 
-    log(f"devices: {jax.devices()}")
+    from seismic_tpu.config import Configuration, TpuLayout
+    from seismic_tpu.build.builder import build_index
+    from seismic_tpu.harness.synth import synth_dataset, synth_queries
     from seismic_tpu.search.engine import (
         SearchParams,
         pad_queries,
-        search_batch_jit,
+        search_batch,
     )
-    from seismic_tpu.harness.synth import synth_queries
+    from seismic_tpu.search.grouped import GroupedParams, search_grouped
+    from seismic_tpu.search.planner import PlannerContext
+
+    ds = synth_dataset(2000, dim=8192, seed=3)
+    cfg = Configuration(
+        layout=TpuLayout(max_block_len=32, summary_vocab_cap=512,
+                         max_doc_nnz=256, tile_overflow=32)
+    )
+    arrays = build_index(ds, cfg, value_dtype="f32")
+    qc, qv = synth_queries(64, dim=8192, seed=5)
+    q_comps, q_vals = pad_queries(qc, qv, 64)
+
+    # XLA formulation (doc_tiles dynamic-slice path, no Pallas)
+    dev_xla = arrays.to_device(pallas_tiles=False)
+    params = SearchParams(
+        k=K, query_cut=10, doc_mode="tiles", full_lists=True,
+        score_cut=64, dedup_pool=128, use_pallas=False,
+    )
+    s_x, i_x = search_batch(dev_xla, q_comps, q_vals, params,
+                            heap_factor=0.0)
+    del dev_xla
+
+    # grouped Pallas path, exact-operand config
+    dev_p = arrays.to_device(pallas_tiles=True)
+    ctx = PlannerContext.from_arrays(arrays)
+    gp = GroupedParams(k=K, score_cut=64, pool=128, compute_dtype="f32",
+                       ovf_pool=0)
+    s_g, i_g = search_grouped(dev_p, ctx, q_comps, q_vals, gp,
+                              query_cut=10, M=8)
+
+    ids_match = float(np.mean([
+        set(map(int, a[a >= 0])) == set(map(int, b[b >= 0]))
+        for a, b in zip(i_x, i_g)
+    ]))
+    srel = float(np.max(np.abs(s_g - s_x) / np.maximum(np.abs(s_x), 1e-6)))
+    ok = ids_match >= 0.98 and srel < 1e-3
+    log(f"pallas gate: ids_match={ids_match:.3f} max_rel_err={srel:.2e} "
+        f"ok={ok}")
+    if not ok:
+        raise AssertionError(
+            f"Pallas-vs-XLA gate failed: ids_match={ids_match} srel={srel}"
+        )
+    return {"ids_match": ids_match, "max_rel_err": srel}
+
+
+def main():
+    t_all = time.time()
+    import jax
     import jax.numpy as jnp
+
+    log(f"devices: {jax.devices()}")
+    from seismic_tpu.search.engine import pad_queries
+    from seismic_tpu.search.grouped import (
+        DevicePlan,
+        GroupedParams,
+        search_grouped_jit,
+    )
+    from seismic_tpu.search.planner import PlannerContext, plan_grouped
+    from seismic_tpu.harness.synth import synth_queries
+
+    gate = pallas_gate()
 
     ds = get_dataset()
     arrays = get_index(ds)
-    qc, qv = synth_queries(N_QUERIES, dim=DIM, seed=11)
-    q_comps, q_vals = pad_queries(qc, qv, 64)
+    qc_list, qv_list = synth_queries(N_QUERIES, dim=DIM, seed=11)
+    q_comps, q_vals = pad_queries(qc_list, qv_list, 64)
     gt_ids = get_ground_truth(ds, q_comps, q_vals)
 
+    t0 = time.time()
     index = arrays.to_device(pallas_tiles=True)
-    layout = arrays.config.layout
-    n_batches = N_QUERIES // BATCH
-    qc_dev = [
-        jnp.asarray(q_comps[i * BATCH : (i + 1) * BATCH], jnp.int32)
-        for i in range(n_batches)
-    ]
-    qv_dev = [
-        jnp.asarray(q_vals[i * BATCH : (i + 1) * BATCH], jnp.float32)
-        for i in range(n_batches)
-    ]
+    ctx = PlannerContext.from_arrays(arrays)
+    log(f"to_device+ctx: {time.time()-t0:.1f}s")
+    space = arrays.space_usage_report()
 
-    rungs = []
-    for query_cut, hf, full_lists, budget in LADDER:
-        params = SearchParams(
-            k=K, query_cut=query_cut, block_budget=budget,
-            block_mode="dense", doc_mode="tiles", full_lists=full_lists,
-            score_cut=64, dedup_pool=128, use_pallas=True,
-        )
+    gp = GroupedParams(k=K, score_cut=64, pool=128)
+    n_batches = N_QUERIES // BATCH
+
+    def run_rung(query_cut, B, n_b):
+        """Plan + search n_b batches of size B; returns (ids, plan_stats)."""
         outs = []
-        for b in range(n_batches):
-            s, i = search_batch_jit(
-                index, qc_dev[b], qv_dev[b], jnp.float32(hf), params,
-                layout.sketch_dim, layout.sketch_seed,
+        stats = None
+        for b in range(n_b):
+            qc_np = q_comps[b * B: (b + 1) * B]
+            qv_np = q_vals[b * B: (b + 1) * B]
+            plan = plan_grouped(qc_np, qv_np, ctx, query_cut, M=8)
+            dplan = DevicePlan.put(plan)
+            out = search_grouped_jit(
+                index, dplan,
+                jnp.asarray(qc_np, jnp.int32),
+                jnp.asarray(qv_np, jnp.float32), gp,
             )
-            outs.append(np.asarray(i))
-        rec = recall_at_k(np.concatenate(outs), gt_ids)
-        log(f"qc={query_cut} hf={hf} full={full_lists} budget={budget}: "
-            f"recall@10={rec:.4f}")
-        rungs.append((params, hf, rec))
+            outs.append(np.asarray(out[1]))
+            stats = plan
+        return np.concatenate(outs), stats
+
+    # ---- accuracy ladder ----
+    chosen = None
+    rungs = []
+    for query_cut in QC_LADDER:
+        ids, plan = run_rung(query_cut, BATCH, n_batches)
+        rec = recall_at_k(ids, gt_ids)
+        streamed_kb = plan.W * 128 * V_CAP / BATCH / 1e3
+        log(f"qc={query_cut}: recall@10={rec:.4f} "
+            f"streamed/query={streamed_kb:.0f}KB W={plan.W}")
+        rungs.append((query_cut, rec, streamed_kb))
         if rec >= TARGET_RECALL:
             break
-
-    # cheapest rung achieving >= min(target, best - 0.003)
-    best = max(r[2] for r in rungs)
+    best = max(r[1] for r in rungs)
     need = min(TARGET_RECALL, best - 0.003)
-    params, hf, rec = next(r for r in rungs if r[2] >= need)
-    # ---- timed runs ----
-    hf_dev = jnp.float32(hf)
+    query_cut, rec, streamed_kb = next(r for r in rungs if r[1] >= need)
 
-    def run_all():
-        res = None
-        for b in range(n_batches):
-            res = search_batch_jit(
-                index, qc_dev[b], qv_dev[b], hf_dev, params,
-                layout.sketch_dim, layout.sketch_seed,
-            )
-        # force real completion (axon's block_until_ready is async)
-        np.asarray(res[0]).ravel()[:1]
+    # ---- throughput (e2e: host plan + upload + search, async-pipelined) --
+    def once(B, qc_np, qv_np, qc_dev, qv_dev):
+        plan = plan_grouped(qc_np, qv_np, ctx, query_cut, M=8)
+        dplan = DevicePlan.put(plan)
+        return search_grouped_jit(index, dplan, qc_dev, qv_dev, gp)
 
-    run_all()  # warmup (compiled already, but fill caches)
+    qcd = [jnp.asarray(q_comps[b * BATCH:(b + 1) * BATCH], jnp.int32)
+           for b in range(n_batches)]
+    qvd = [jnp.asarray(q_vals[b * BATCH:(b + 1) * BATCH], jnp.float32)
+           for b in range(n_batches)]
+    qcn = [q_comps[b * BATCH:(b + 1) * BATCH] for b in range(n_batches)]
+    qvn = [q_vals[b * BATCH:(b + 1) * BATCH] for b in range(n_batches)]
+
+    _sync(once(BATCH, qcn[0], qvn[0], qcd[0], qvd[0]))  # warm
     reps = 10
-    # p50 batch latency: synced per batch
-    batch_times = []
-    for _ in range(3):
-        tb = time.time()
-        run_all()
-        batch_times.append((time.time() - tb) / n_batches)
-    p50_batch_ms = float(np.median(batch_times) * 1e3)
-    # throughput: keep the device queue full, sync once
     t0 = time.time()
-    res = None
+    out = None
     for _ in range(reps):
         for b in range(n_batches):
-            res = search_batch_jit(
-                index, qc_dev[b], qv_dev[b], hf_dev, params,
-                layout.sketch_dim, layout.sketch_seed,
-            )
-    np.asarray(res[0]).ravel()[:1]
+            out = once(BATCH, qcn[b], qvn[b], qcd[b], qvd[b])
+    _sync(out)
     elapsed = time.time() - t0
     qps = (reps * N_QUERIES) / elapsed
 
+    # ---- p50 latency rungs (per-batch sync; batch = 1, 64, BATCH) ----
+    p50 = {}
+    for B in (1, 64, BATCH):
+        qc_np = q_comps[:B]
+        qv_np = q_vals[:B]
+        qc_dev = jnp.asarray(qc_np, jnp.int32)
+        qv_dev = jnp.asarray(qv_np, jnp.float32)
+        _sync(once(B, qc_np, qv_np, qc_dev, qv_dev))  # compile this class
+        times = []
+        for _ in range(7 if B <= 64 else 3):
+            t0 = time.time()
+            _sync(once(B, qc_np, qv_np, qc_dev, qv_dev))
+            times.append(time.time() - t0)
+        p50[f"b{B}"] = round(float(np.median(times) * 1e3), 2)
+    log(f"p50 latency ms: {p50}")
+
     log(
-        f"QPS={qps:.0f} recall@10={rec:.4f} p50_batch={p50_batch_ms:.2f}ms "
-        f"(batch={BATCH}) total_bench_time={time.time()-t_all:.0f}s"
+        f"QPS={qps:.0f} recall@10={rec:.4f} qc={query_cut} "
+        f"total_bench_time={time.time()-t_all:.0f}s"
     )
     result = {
         "metric": (
             f"batched QPS/chip at recall@10>={rec:.3f} "
             f"(synthetic SPLADE, {N_DOCS} docs, dim {DIM}, k={K}, "
-            f"qc={params.query_cut}, tiles mode, "
-            f"full_lists={params.full_lists})"
+            f"qc={query_cut}, grouped list-major path, e2e incl. host "
+            f"planning)"
         ),
         "value": round(qps, 1),
         "unit": "qps",
         "vs_baseline": round(qps / BASELINE_QPS, 2),
+        "recall_at_10": round(rec, 4),
+        "p50_ms": p50,
+        "streamed_kb_per_query": round(streamed_kb),
+        "index_bytes": space,
+        "pallas_gate": gate,
     }
     print(json.dumps(result), flush=True)
 

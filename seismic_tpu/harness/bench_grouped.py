@@ -37,7 +37,7 @@ def recall_at_k(ids, gt_ids, k=10):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", default=os.path.join(
-        ROOT, ".bench_cache", "index_100000_30522_200_v1024_o64"))
+        ROOT, ".bench_cache", "index_100000_30522_200_v1024_o64.dir"))
     ap.add_argument("--gt", default=os.path.join(
         ROOT, ".bench_cache", "gt_100000_30522_1024.npz"))
     ap.add_argument("--batch", type=int, default=1024)

@@ -41,7 +41,7 @@ def _timeit(fn, *args, reps=5):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", default=os.path.join(
-        ROOT, ".bench_cache", "index_100000_30522_200_v1024_o64"))
+        ROOT, ".bench_cache", "index_100000_30522_200_v1024_o64.dir"))
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--qc", type=int, default=11)
     ap.add_argument("--m", type=int, default=8)
@@ -64,8 +64,12 @@ def main():
     from .synth import synth_queries
 
     print("devices:", jax.devices(), file=sys.stderr)
+    t0 = time.time()
     arrays = IndexArrays.load(args.index)
+    print(f"load: {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
+    t0 = time.time()
     index = arrays.to_device(pallas_tiles=True)
+    print(f"to_device: {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
     ctx = PlannerContext.from_arrays(arrays)
     qc_l, qv_l = synth_queries(args.batch, dim=arrays.dim, seed=11)
     q_comps_np, q_vals_np = pad_queries(qc_l, qv_l, 64)

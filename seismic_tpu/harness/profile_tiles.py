@@ -48,7 +48,7 @@ def _timeit(fn, *args, reps=5):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", default=os.path.join(
-        ROOT, ".bench_cache", "index_100000_30522_200_v1024_o64"))
+        ROOT, ".bench_cache", "index_100000_30522_200_v1024_o64.dir"))
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--qc", type=int, default=11)
     ap.add_argument("--reps", type=int, default=5)

@@ -39,6 +39,7 @@ def score_grouped_pallas(
     ll_max: int,  # output row capacity per group (multiple of SUB)
     interpret: bool = False,
     compute_dtype: str = "bf16",
+    qsum=None,  # f32 [G_cap, M, 128] lane-replicated 128*sum_v(qloc[g,m,:])
 ):
     """Returns UNMASKED scores f32 [G_cap, M, ll_max]; blocks not covered
     by a work item hold garbage (caller masks with group_nrows/slot
@@ -48,6 +49,11 @@ def score_grouped_pallas(
     codes 0..255 are exact in bf16; only the qloc operand is rounded to
     8 mantissa bits — below the u8 quantization error of the tiles);
     "f32" is the exact-operand reference.
+
+    When `qsum` is given, the kernel recenters tiles with a single XOR
+    (u8 - 128 reinterpreted as int8) instead of the 4-op compare fixup
+    — qloc . u8 == qloc . (u8 - 128) + 128 * sum(qloc) — cutting the
+    per-element VPU work that dominated the round-2 kernel.
     """
     import jax
     import jax.numpy as jnp
@@ -59,10 +65,13 @@ def score_grouped_pallas(
     assert M % 8 == 0 and V % 128 == 0 and ll_max % SUB == 0
     cdt = jnp.bfloat16 if compute_dtype == "bf16" else jnp.float32
 
-    def kernel(region_ref, g_ref, s_ref, tile_ref, scale_ref, qloc_ref,
-               out_ref):
-        t = tile_ref[:].astype(cdt)
-        t = t + jnp.where(t < 0, cdt(256.0), cdt(0.0))  # i8 bits -> u8
+    def kernel_fixup(region_ref, g_ref, s_ref, tile_ref, scale_ref,
+                     qloc_ref, out_ref):
+        # i8 bits -> u8 value, fixup in f32 (Mosaic supports neither bf16
+        # compares nor the i1-mask relayout an int8 compare + bf16 select
+        # needs); the matmul operands then drop to compute_dtype
+        t = tile_ref[:].astype(jnp.float32)
+        t = (t + jnp.where(t < 0, 256.0, 0.0)).astype(cdt)
         q = qloc_ref[0].astype(cdt)  # [M, V]
         s = jax.lax.dot_general(
             q, t, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -70,26 +79,50 @@ def score_grouped_pallas(
         )  # [M, SUB]
         out_ref[0] = s * scale_ref[0, 0, :][None, :]
 
+    def kernel_centered(region_ref, g_ref, s_ref, tile_ref, scale_ref,
+                        qloc_ref, qsum_ref, out_ref):
+        t = (tile_ref[:] ^ jnp.int8(-128)).astype(cdt)  # u8 - 128
+        q = qloc_ref[0].astype(cdt)  # [M, V]
+        s = jax.lax.dot_general(
+            q, t, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [M, SUB]
+        out_ref[0] = (s + qsum_ref[0]) * scale_ref[0, 0, :][None, :]
+
+    in_specs = [
+        pl.BlockSpec(
+            (SUB, V),
+            lambda w, region, g, s: (region[w], 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, 8, 128),
+            lambda w, region, g, s: (region[w], 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, M, V),
+            lambda w, region, g, s: (g[w], 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    operands = [doc_tiles_i8, tile_scale3d, qloc]
+    kernel = kernel_fixup
+    if qsum is not None:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, M, 128),
+                lambda w, region, g, s: (g[w], 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        operands.append(qsum)
+        kernel = kernel_centered
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(W_cap,),
-        in_specs=[
-            pl.BlockSpec(
-                (SUB, V),
-                lambda w, region, g, s: (region[w], 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 8, 128),
-                lambda w, region, g, s: (region[w], 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, M, V),
-                lambda w, region, g, s: (g[w], 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, M, SUB),
             lambda w, region, g, s: (g[w], 0, s[w]),
@@ -102,4 +135,4 @@ def score_grouped_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((G_cap, M, ll_max), jnp.float32),
         interpret=interpret,
-    )(work_region, work_g, work_s, doc_tiles_i8, tile_scale3d, qloc)
+    )(work_region, work_g, work_s, *operands)

@@ -93,6 +93,16 @@ def score_tiles_pallas(
     )(tile_block_idx, doc_tiles_i8, tile_scale3d, qloc)
 
 
+def tile_region_starts(arrays) -> np.ndarray:
+    """Subtile (SUB-row unit) start of each list's region in the aligned
+    tile layout. Pure metadata — does NOT materialize the tiles."""
+    list_len = arrays.list_len.astype(np.int64)
+    n_tiles_per_list = np.maximum(1, -(-list_len // SUB))
+    region_start = np.zeros(len(list_len), dtype=np.int64)
+    np.cumsum(n_tiles_per_list[:-1], out=region_start[1:])
+    return region_start
+
+
 def pallas_align_doc_tiles(arrays, ll_pad: int):
     """Re-pack `doc_tiles`/`doc_tile_scale` so every list's region starts at
     a multiple of SUB rows; the tail is padded by `ll_pad` rows so any
@@ -100,25 +110,27 @@ def pallas_align_doc_tiles(arrays, ll_pad: int):
 
     Returns (tiles int8 [n_sub_total*SUB, V], scale3d f32
     [n_sub_total, 8, 128], region_start_subtiles int32 [n_lists]).
-    Host-side, one-off per index."""
-    n_lists = arrays.n_lists
+    Host-side, one-off per index (vectorized: one fancy-index row copy)."""
     list_len = arrays.list_len.astype(np.int64)
     n_tiles_per_list = np.maximum(1, -(-list_len // SUB))
-    region_start = np.zeros(n_lists, dtype=np.int64)
-    np.cumsum(n_tiles_per_list[:-1], out=region_start[1:])
+    region_start = tile_region_starts(arrays)
     n_sub_total = int(n_tiles_per_list.sum()) + ll_pad // SUB
     total_rows = n_sub_total * SUB
     V = arrays.doc_tiles.shape[1]
     tiles = np.zeros((total_rows, V), dtype=np.uint8)
     scale = np.zeros(total_rows, dtype=np.float32)
-    for l in range(n_lists):
-        ln = int(list_len[l])
-        if ln == 0:
-            continue
-        src = int(arrays.list_post_start[l])
-        dst = int(region_start[l]) * SUB
-        tiles[dst : dst + ln] = arrays.doc_tiles[src : src + ln]
-        scale[dst : dst + ln] = arrays.doc_tile_scale[src : src + ln]
+    total = int(list_len.sum())
+    if total:
+        # flat (src, dst) row indices for every real posting row
+        starts = np.zeros(len(list_len), dtype=np.int64)
+        np.cumsum(list_len[:-1], out=starts[1:])
+        intra = np.arange(total, dtype=np.int64) - np.repeat(starts, list_len)
+        src_idx = np.repeat(
+            arrays.list_post_start.astype(np.int64), list_len
+        ) + intra
+        dst_idx = np.repeat(region_start * SUB, list_len) + intra
+        tiles[dst_idx] = arrays.doc_tiles[src_idx]
+        scale[dst_idx] = arrays.doc_tile_scale[src_idx]
     scale3d = np.repeat(
         scale.reshape(n_sub_total, 1, SUB), 8, axis=1
     ).astype(np.float32)

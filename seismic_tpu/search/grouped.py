@@ -54,6 +54,15 @@ class GroupedParams:
     # kernel matmul width: "bf16" = MXU-native (u8 codes exact; qloc
     # rounded to 8 mantissa bits), "f32" = exact-operand reference
     compute_dtype: str = "bf16"
+    # overflow re-rank placement: 0 = legacy (correct the whole pool
+    # before dedup); > 0 = dedup first, then correct only the top
+    # `ovf_pool` unique candidates (cuts the compare-intersection cost
+    # pool/ovf_pool-fold; the correction then applies to each id's best
+    # pre-correction occurrence only)
+    ovf_pool: int = 64
+    # qloc computation: "pallas" = in-VMEM projection kernel,
+    # "einsum" = the round-2 XLA compare-einsum (reference path)
+    qloc_mode: str = "pallas"
 
 
 @dataclass
@@ -133,6 +142,30 @@ def _ovf_correction(index: DeviceIndex, top_c, top_v, top_scores, safe_post):
     )
 
 
+def _dedup_with_payload(scores, ids, payload, n_docs: int):
+    """`_dedup_by_id` carrying an int32 payload column through the sort
+    (used to keep each candidate's posting position for the post-dedup
+    overflow re-rank)."""
+    ids = jnp.where(jnp.isfinite(scores), ids, n_docs)
+    neg = jnp.where(jnp.isfinite(scores), -scores, jnp.inf)
+    ids_s, neg_s, pay_s = jax.lax.sort(
+        (ids.astype(jnp.int32), neg, payload.astype(jnp.int32)),
+        dimension=-1,
+        num_keys=2,
+    )
+    scores_s = -neg_s
+    dup = jnp.concatenate(
+        [
+            jnp.zeros_like(ids_s[..., :1], dtype=bool),
+            ids_s[..., 1:] == ids_s[..., :-1],
+        ],
+        axis=-1,
+    )
+    invalid = ids_s >= n_docs
+    scores_s = jnp.where(dup | invalid, -jnp.inf, scores_s)
+    return scores_s, ids_s, pay_s
+
+
 def _grouped_impl(
     index: DeviceIndex,
     plan: DevicePlan,
@@ -160,18 +193,55 @@ def _grouped_impl(
     else:
         top_v, top_c = qv, q_comps
 
-    # ---- per-pair query projections, expanded to slot order ----
-    # qloc is computed on the compact [B, QC] pair grid (the compare-einsum
-    # cost scales with real pairs, not padded slots) and then spread to the
-    # [G_cap, M] slot grid with a wide-row gather, which runs at HBM speed
-    # on this device (harness/profile_tiles.py measurement).
-    from .engine import _qloc_compare
-
+    interpret = jax.default_backend() != "tpu"
     QC = plan.pair_list.shape[1]
-    vocab = index.list_vocab[plan.pair_list].astype(jnp.int32)  # [B, QC, V]
-    qloc_pairs = _qloc_compare(vocab, q_comps, qv, sc)  # [B, QC, V]
-    qloc = qloc_pairs.reshape(B * QC, V)[plan.slot_pair].reshape(
-        G_cap, M, V
+
+    # ---- per-pair query projections, expanded to slot order ----
+    # qloc is computed on the compact [B * QC] pair grid (cost scales with
+    # real pairs, not padded slots) and then spread to the [G_cap, M] slot
+    # grid with a wide-row gather, which runs at HBM speed on this device
+    # (harness/profile_tiles.py measurement).
+    if params.qloc_mode == "pallas":
+        from ..ops.pallas_qloc import LANES, project_qloc_pallas
+
+        P = B * QC
+        P_cap = -(-P // LANES) * LANES
+        pair_list_flat = plan.pair_list.reshape(P)
+        vocabT = index.list_vocab[pair_list_flat].astype(jnp.int32).T
+        # sublane-pad the term axis to a multiple of 8 (vocab PAD slots can
+        # only match qc PAD slots, whose value contribution is 0)
+        SCP = -(-sc // 8) * 8
+        qcT = jnp.broadcast_to(
+            top_c[:, None, :sc], (B, QC, sc)
+        ).reshape(P, sc).T  # [sc, P]
+        qvT = jnp.broadcast_to(
+            top_v[:, None, :sc], (B, QC, sc)
+        ).reshape(P, sc).T
+        if SCP > sc:
+            qcT = jnp.pad(qcT, ((0, SCP - sc), (0, 0)),
+                          constant_values=PAD_COMPONENT)
+            qvT = jnp.pad(qvT, ((0, SCP - sc), (0, 0)))
+        if P_cap > P:
+            vocabT = jnp.pad(vocabT, ((0, 0), (0, P_cap - P)))
+            qcT = jnp.pad(qcT, ((0, 0), (0, P_cap - P)),
+                          constant_values=PAD_COMPONENT)
+            qvT = jnp.pad(qvT, ((0, 0), (0, P_cap - P)))
+        qloc_pairs = project_qloc_pallas(
+            vocabT, qcT, qvT, sc, interpret=interpret
+        ).T[:P]  # [P, V]
+    else:
+        from .engine import _qloc_compare
+
+        vocab = index.list_vocab[plan.pair_list].astype(jnp.int32)
+        qloc_pairs = _qloc_compare(vocab, q_comps, qv, sc).reshape(
+            B * QC, V
+        )
+
+    qloc = qloc_pairs[plan.slot_pair].reshape(G_cap, M, V)
+    # lane-replicated 128 * sum_v qloc for the centered-tile correction
+    qsum_pairs = 128.0 * jnp.sum(qloc_pairs, axis=-1)  # [P]
+    qsum = jnp.broadcast_to(
+        qsum_pairs[plan.slot_pair].reshape(G_cap, M, 1), (G_cap, M, 128)
     )
 
     # ---- grouped tile scoring on the MXU ----
@@ -183,8 +253,9 @@ def _grouped_impl(
         plan.work_g,
         plan.work_s,
         LLMAX,
-        interpret=jax.default_backend() != "tpu",
+        interpret=interpret,
         compute_dtype=params.compute_dtype,
+        qsum=qsum,
     )  # [G_cap, M, LLMAX]
 
     # ---- regroup score rows to query order (wide-row gather: HBM-speed
@@ -198,7 +269,7 @@ def _grouped_impl(
     ) & plan.pair_valid[..., None]
     pv = jnp.where(rows_ok, pv, -jnp.inf).reshape(B, QC * LLMAX)
 
-    # ---- per-query pool + overflow re-rank + dedup + top-k ----
+    # ---- per-query pool + dedup + overflow re-rank + top-k ----
     pool = min(params.pool if params.pool > 0 else 8 * k, QC * LLMAX)
     top_scores, sel = jax.lax.top_k(pv, pool)
     qc_slot = sel // LLMAX
@@ -208,14 +279,26 @@ def _grouped_impl(
     cand_ids = jnp.take(index.postings, safe_post)
     cand_ids = jnp.where(jnp.isfinite(top_scores), cand_ids, n_docs)
 
-    if params.use_ovf and index.tile_ovf_comps is not None:
-        top_scores = _ovf_correction(
-            index, top_c, top_v, top_scores, safe_post
+    use_ovf = params.use_ovf and index.tile_ovf_comps is not None
+    if use_ovf and 0 < params.ovf_pool < pool:
+        # dedup first, then correct only the top unique candidates
+        dscores, dids, dpost = _dedup_with_payload(
+            top_scores, cand_ids, safe_post, n_docs
         )
-
-    dscores, dids = _dedup_by_id(top_scores, cand_ids, n_docs)
-    out_scores, opos = jax.lax.top_k(dscores, k)
-    out_ids = jnp.take_along_axis(dids, opos, axis=1)
+        t2, pos2 = jax.lax.top_k(dscores, params.ovf_pool)
+        ids2 = jnp.take_along_axis(dids, pos2, axis=1)
+        post2 = jnp.take_along_axis(dpost, pos2, axis=1)
+        t2 = _ovf_correction(index, top_c, top_v, t2, post2)
+        out_scores, opos = jax.lax.top_k(t2, k)
+        out_ids = jnp.take_along_axis(ids2, opos, axis=1)
+    else:
+        if use_ovf:
+            top_scores = _ovf_correction(
+                index, top_c, top_v, top_scores, safe_post
+            )
+        dscores, dids = _dedup_by_id(top_scores, cand_ids, n_docs)
+        out_scores, opos = jax.lax.top_k(dscores, k)
+        out_ids = jnp.take_along_axis(dids, opos, axis=1)
 
     if params.n_knn > 0 and index.knn is not None:
         from .engine import SearchParams

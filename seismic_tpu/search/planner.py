@@ -49,9 +49,9 @@ class PlannerContext:
         """Build from IndexArrays (+ the aligned-layout region starts that
         `prepare_pallas_tiles` computes)."""
         if region_start is None:
-            from ..ops_pallas_prep import prepare_pallas_tiles
+            from ..ops.pallas_tiles import tile_region_starts
 
-            _, _, region_start = prepare_pallas_tiles(arrays)
+            region_start = tile_region_starts(arrays)
         list_len = arrays.list_len.astype(np.int64)
         n_tiles = np.maximum(1, -(-list_len // SUB))
         n_sub_total = int(

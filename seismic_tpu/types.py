@@ -227,18 +227,8 @@ class IndexArrays:
             a = getattr(self, f)
             if a is not None:
                 arrays[f] = self._to_savable(a)
-        meta = {
-            "version": FORMAT_VERSION,
-            "dim": self.dim,
-            "n_docs": self.n_docs,
-            "max_blocks_per_list": self.max_blocks_per_list,
-            "max_block_len": self.max_block_len,
-            "max_list_len": self.max_list_len,
-            "dataset_nnz": self.dataset_nnz,
-            "config": self.config.to_dict() if self.config else None,
-        }
         arrays["__meta__"] = np.frombuffer(
-            json.dumps(meta).encode("utf-8"), dtype=np.uint8
+            json.dumps(self._meta_dict()).encode("utf-8"), dtype=np.uint8
         )
         np.savez(path, **arrays)
         # np.savez appends .npz; normalize to the exact requested path.
@@ -253,15 +243,20 @@ class IndexArrays:
             return np.asarray(a, dtype=np.float32)
         return a
 
+    def _meta_dict(self) -> dict:
+        return {
+            "version": FORMAT_VERSION,
+            "dim": self.dim,
+            "n_docs": self.n_docs,
+            "max_blocks_per_list": self.max_blocks_per_list,
+            "max_block_len": self.max_block_len,
+            "max_list_len": self.max_list_len,
+            "dataset_nnz": self.dataset_nnz,
+            "config": self.config.to_dict() if self.config else None,
+        }
+
     @staticmethod
-    def load(path: str) -> "IndexArrays":
-        if not path.endswith(INDEX_SUFFIX) and os.path.exists(path + INDEX_SUFFIX):
-            path = path + INDEX_SUFFIX
-        with np.load(path, allow_pickle=False) as z:
-            meta = json.loads(bytes(z["__meta__"]).decode("utf-8"))
-            kwargs = {}
-            for f in IndexArrays._ARRAY_FIELDS:
-                kwargs[f] = z[f] if f in z.files else None
+    def _from_meta(meta: dict, kwargs: dict) -> "IndexArrays":
         cfg = (
             Configuration.from_dict(meta["config"]) if meta["config"] else None
         )
@@ -275,6 +270,48 @@ class IndexArrays:
             config=cfg,
             **kwargs,
         )
+
+    def save_dir(self, path: str) -> str:
+        """Persist as a DIRECTORY of raw .npy files + meta.json. Unlike the
+        single-file npz (which streams through the zip layer on load),
+        this form memory-maps on load — multi-GB indexes open in
+        milliseconds and pages fault in on demand (the HBM upload then
+        reads them once, sequentially)."""
+        os.makedirs(path, exist_ok=True)
+        for f in self._ARRAY_FIELDS:
+            a = getattr(self, f)
+            if a is not None:
+                np.save(os.path.join(path, f + ".npy"), self._to_savable(a))
+        with open(os.path.join(path, "meta.json"), "w") as fp:
+            json.dump(self._meta_dict(), fp)
+        return path
+
+    @staticmethod
+    def load_dir(path: str, mmap: bool = True) -> "IndexArrays":
+        with open(os.path.join(path, "meta.json")) as fp:
+            meta = json.load(fp)
+        kwargs = {}
+        for f in IndexArrays._ARRAY_FIELDS:
+            p = os.path.join(path, f + ".npy")
+            kwargs[f] = (
+                np.load(p, mmap_mode="r" if mmap else None)
+                if os.path.exists(p)
+                else None
+            )
+        return IndexArrays._from_meta(meta, kwargs)
+
+    @staticmethod
+    def load(path: str) -> "IndexArrays":
+        if os.path.isdir(path):
+            return IndexArrays.load_dir(path)
+        if not path.endswith(INDEX_SUFFIX) and os.path.exists(path + INDEX_SUFFIX):
+            path = path + INDEX_SUFFIX
+        with np.load(path, allow_pickle=False) as z:
+            meta = json.loads(bytes(z["__meta__"]).decode("utf-8"))
+            kwargs = {}
+            for f in IndexArrays._ARRAY_FIELDS:
+                kwargs[f] = z[f] if f in z.files else None
+        return IndexArrays._from_meta(meta, kwargs)
 
     # ------------------------------------------------------------- device
     def to_device(self, device=None, pallas_tiles: bool = False):
