@@ -77,6 +77,7 @@ class _IndexBase:
         self._contents = contents
         self._device = None
         self._use_pallas = False
+        self._planner_ctx = None
         self._query_pad = DEFAULT_QUERY_PAD
 
     # ------------------------------------------------------------- plumbing
@@ -101,6 +102,14 @@ class _IndexBase:
 
     def _invalidate_device(self):
         self._device = None
+        self._planner_ctx = None
+
+    def _grouped_ctx(self):
+        if self._planner_ctx is None:
+            from .search.planner import PlannerContext
+
+            self._planner_ctx = PlannerContext.from_arrays(self._arrays)
+        return self._planner_ctx
 
     # ----------------------------------------------------------- accessors
     @property
@@ -241,6 +250,41 @@ class _IndexBase:
             k, query_cut, n_knn, first_sorted, block_budget, cand_budget,
             block_mode, doc_mode, full_lists, score_cut,
         )
+        # The grouped (list-major) path is the TPU fast path: the host
+        # planner groups the batch's (query, list) pairs by list so each
+        # list's doc tiles stream once per group. It realizes the
+        # heap_factor -> 0 exhaustive-scan limit over the selected lists,
+        # so it serves full_lists requests and heap_factor == 0 requests.
+        if (
+            params.doc_mode == "tiles"
+            and getattr(self, "_use_pallas", False)
+            and (full_lists or heap_factor <= 0.0)
+        ):
+            from .search.grouped import (
+                DevicePlan,
+                GroupedParams,
+                search_grouped_jit,
+            )
+            from .search.planner import plan_grouped
+
+            import jax.numpy as jnp
+
+            gp = GroupedParams(
+                k=k, score_cut=score_cut,
+                pool=params.dedup_pool or 128, n_knn=n_knn,
+            )
+            plan = plan_grouped(
+                q_comps, q_vals, self._grouped_ctx(), params.query_cut
+            )
+            dplan = DevicePlan.put(plan)
+            scores, ids = search_grouped_jit(
+                self._device_index(),
+                dplan,
+                jnp.asarray(q_comps, jnp.int32),
+                jnp.asarray(q_vals, jnp.float32),
+                gp,
+            )
+            return np.asarray(scores)[:B], np.asarray(ids)[:B]
         layout = self._arrays.config.layout if self._arrays.config else TpuLayout()
         scores, ids = search_batch(
             self._device_index(),

@@ -95,7 +95,7 @@ def main():
     print(f"streamed/query: {bytes_streamed/B/1e3:.0f} KB", file=sys.stderr)
     t0 = time.time()
     dplan = DevicePlan.put(plan)
-    _sync(dplan.slot_b)
+    _sync(dplan.packed)
     print(f"plan upload: {(time.time()-t0)*1e3:.1f}ms", file=sys.stderr)
 
     gp = GroupedParams(k=10, score_cut=args.sc, pool=args.pool,

@@ -22,11 +22,19 @@ ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..")
 
 
 def _sync(out):
+    """Force completion WITHOUT a device->host copy of the value (axon's
+    block_until_ready is async; np.asarray of a multi-GB leaf would pull
+    it through the ~20 MB/s tunnel): reduce to a scalar on device and
+    fetch 4 bytes."""
     import jax
+    import jax.numpy as jnp
 
     leaves = [l for l in jax.tree.leaves(out) if hasattr(l, "shape")]
     if leaves:
-        np.asarray(leaves[0]).ravel()[:1]
+        x = leaves[0]
+        # dtype= makes XLA fuse the convert into the reduce (an astype
+        # would materialize a f32 copy of multi-GB int8 operands)
+        np.asarray(jnp.sum(x, dtype=jnp.float32))
     return out
 
 
@@ -93,7 +101,7 @@ def main():
     print(f"plan: G={plan.G} W={plan.W} G_cap={plan.G_cap} "
           f"W_cap={plan.W_cap}", file=sys.stderr, flush=True)
     dplan = DevicePlan.put(plan)
-    _sync(dplan.slot_b)
+    _sync(dplan.packed)
     G_cap, M = plan.G_cap, plan.M
     QC = plan.pair_slot.shape[1]
     P = B * QC
@@ -111,6 +119,7 @@ def main():
 
     @jax.jit
     def f1_vocab(ix, pl):
+        pl = pl.view()
         return ix.list_vocab[pl.pair_list.reshape(P)].astype(jnp.int32).T
 
     @jax.jit
@@ -134,6 +143,7 @@ def main():
 
     @jax.jit
     def f4_expand(qlocT, pl):
+        pl = pl.view()
         qloc_pairs = qlocT.T[:P]
         qloc = qloc_pairs[pl.slot_pair].reshape(G_cap, M, V)
         qsum_pairs = 128.0 * jnp.sum(qloc_pairs, axis=-1)
@@ -144,6 +154,7 @@ def main():
 
     @jax.jit
     def f5_kernel(ix, pl, qloc, qsum):
+        pl = pl.view()
         return score_grouped_pallas(
             ix.doc_tiles_aligned, ix.tile_scale3d, qloc,
             pl.work_region, pl.work_g, pl.work_s, LLMAX,
@@ -152,6 +163,7 @@ def main():
 
     @jax.jit
     def f6_regroup(scores, pl):
+        pl = pl.view()
         pv = scores.reshape(G_cap * M, LLMAX)[
             pl.pair_slot.reshape(P)].reshape(B, QC, LLMAX)
         rows_ok = (
@@ -162,6 +174,7 @@ def main():
 
     @jax.jit
     def f7_topk(pv, pl, ix):
+        pl = pl.view()
         top_scores, sel = jax.lax.top_k(pv, pool)
         qc_slot = sel // LLMAX
         off = sel % LLMAX

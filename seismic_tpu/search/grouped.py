@@ -60,62 +60,100 @@ class GroupedParams:
     # pool/ovf_pool-fold; the correction then applies to each id's best
     # pre-correction occurrence only)
     ovf_pool: int = 64
+    # > 0: EXACT re-score of the top `rescore` unique candidates from the
+    # forward index (ops/pallas_rescore.py) instead of the overflow
+    # correction — removes both the vocab-truncation and the u8 tile
+    # quantization error from the returned scores. Supersedes ovf when set.
+    rescore: int = 0
     # qloc computation: "pallas" = in-VMEM projection kernel,
     # "einsum" = the round-2 XLA compare-einsum (reference path)
     qloc_mode: str = "pallas"
 
 
+# plan fields packed into ONE int32 host array -> ONE host->device
+# transfer per batch (13 separate small uploads cost ~1 ms dispatch each
+# over the PCIe/tunnel path; packing makes per-batch planning overhead
+# one transfer + in-jit slices, which XLA folds into consumers)
+_PLAN_FIELDS = (
+    # (name, shape_fn(M, G_cap, W_cap, B, QC))
+    ("group_list", lambda M, G, W, B, QC: (G,)),
+    ("group_region", lambda M, G, W, B, QC: (G,)),
+    ("group_nrows", lambda M, G, W, B, QC: (G,)),
+    ("slot_b", lambda M, G, W, B, QC: (G, M)),
+    ("work_region", lambda M, G, W, B, QC: (W,)),
+    ("work_g", lambda M, G, W, B, QC: (W,)),
+    ("work_s", lambda M, G, W, B, QC: (W,)),
+    ("pair_slot", lambda M, G, W, B, QC: (B, QC)),
+    ("pair_pstart", lambda M, G, W, B, QC: (B, QC)),
+    ("pair_valid", lambda M, G, W, B, QC: (B, QC)),
+    ("pair_list", lambda M, G, W, B, QC: (B, QC)),
+    ("pair_len", lambda M, G, W, B, QC: (B, QC)),
+    ("slot_pair", lambda M, G, W, B, QC: (G * M,)),
+)
+
+
+class _PlanView:
+    """Trace-time view of the packed plan: named int32 arrays."""
+
+    __slots__ = tuple(n for n, _ in _PLAN_FIELDS) + ("M",)
+
+
 @dataclass
 class DevicePlan:
-    """Device-resident mirror of GroupedPlan (pytree)."""
+    """Device-resident mirror of GroupedPlan: one packed int32 buffer plus
+    the static shape signature (pytree; shapes are aux data)."""
 
-    group_list: object
-    group_region: object
-    group_nrows: object
-    slot_b: object
-    work_region: object
-    work_g: object
-    work_s: object
-    pair_slot: object
-    pair_pstart: object
-    pair_valid: object
-    pair_list: object
-    pair_len: object
-    slot_pair: object
+    packed: object  # int32 [total]
     M: int = 8
+    G_cap: int = 0
+    W_cap: int = 0
+    B: int = 0
+    QC: int = 0
+
+    @staticmethod
+    def pack_host(plan: GroupedPlan) -> np.ndarray:
+        parts = []
+        for name, _ in _PLAN_FIELDS:
+            a = getattr(plan, name)
+            parts.append(np.ascontiguousarray(a, dtype=np.int32).reshape(-1))
+        return np.concatenate(parts)
 
     @staticmethod
     def put(plan: GroupedPlan, device=None):
-        def up(a):
-            return jax.device_put(jnp.asarray(a), device)
-
-        return DevicePlan(
-            group_list=up(plan.group_list),
-            group_region=up(plan.group_region),
-            group_nrows=up(plan.group_nrows),
-            slot_b=up(plan.slot_b),
-            work_region=up(plan.work_region),
-            work_g=up(plan.work_g),
-            work_s=up(plan.work_s),
-            pair_slot=up(plan.pair_slot),
-            pair_pstart=up(plan.pair_pstart),
-            pair_valid=up(plan.pair_valid),
-            pair_list=up(plan.pair_list),
-            pair_len=up(plan.pair_len),
-            slot_pair=up(plan.slot_pair),
-            M=plan.M,
+        packed = jax.device_put(
+            jnp.asarray(DevicePlan.pack_host(plan)), device
         )
+        B, QC = plan.pair_slot.shape
+        return DevicePlan(
+            packed=packed, M=plan.M, G_cap=plan.G_cap, W_cap=plan.W_cap,
+            B=B, QC=QC,
+        )
+
+    def view(self) -> "_PlanView":
+        """Slice the packed buffer into named arrays (trace time; XLA
+        folds the slices into their consumers)."""
+        v = _PlanView()
+        v.M = self.M
+        off = 0
+        dims = (self.M, self.G_cap, self.W_cap, self.B, self.QC)
+        for name, shape_fn in _PLAN_FIELDS:
+            shape = shape_fn(*dims)
+            n = int(np.prod(shape))
+            arr = self.packed[off : off + n]
+            if name == "pair_valid":
+                arr = arr.astype(bool)
+            setattr(v, name, arr.reshape(shape))
+            off += n
+        return v
 
 
 def _register_device_plan():
-    fields = [f.name for f in dataclasses.fields(DevicePlan)
-              if f.name != "M"]
-
     def flatten(p):
-        return tuple(getattr(p, f) for f in fields), (p.M,)
+        return (p.packed,), (p.M, p.G_cap, p.W_cap, p.B, p.QC)
 
     def unflatten(aux, children):
-        return DevicePlan(**dict(zip(fields, children)), M=aux[0])
+        return DevicePlan(packed=children[0], M=aux[0], G_cap=aux[1],
+                          W_cap=aux[2], B=aux[3], QC=aux[4])
 
     jax.tree_util.register_pytree_node(DevicePlan, flatten, unflatten)
 
@@ -140,6 +178,38 @@ def _ovf_correction(index: DeviceIndex, top_c, top_v, top_scores, safe_post):
     return jnp.where(
         jnp.isfinite(top_scores), top_scores + correction, top_scores
     )
+
+
+def _knn_refine_grouped(index, params, top_c, top_v, sc, top_scores,
+                        top_ids, interpret):
+    """k-NN refinement on the exact-rescore kernel (reference Knn::refine,
+    inverted_index.rs:551-593): one wide-row gather of neighbor ids + one
+    compare-kernel scoring round, no element gathers."""
+    from ..ops.pallas_rescore import rescore_exact
+    from .engine import _dedup_by_id
+
+    B, k = top_ids.shape
+    n_docs = index.n_docs
+    n_knn = min(params.n_knn, index.knn.shape[1])
+    safe_top = jnp.clip(top_ids, 0, n_docs - 1)
+    neigh = index.knn[safe_top][..., :n_knn].reshape(B, k * n_knn)
+    neigh_valid = (
+        jnp.isfinite(top_scores)[:, :, None]
+        .repeat(n_knn, axis=2)
+        .reshape(B, k * n_knn)
+    ) & (neigh >= 0)
+    nscores = rescore_exact(
+        index, jnp.where(neigh_valid, neigh, 0), top_c, top_v, sc,
+        interpret=interpret,
+    )
+    nscores = jnp.where(neigh_valid, nscores, -jnp.inf)
+    neigh = jnp.where(neigh_valid, neigh, n_docs)
+    all_scores = jnp.concatenate([top_scores, nscores], axis=1)
+    all_ids = jnp.concatenate([top_ids, neigh], axis=1)
+    all_scores, all_ids = _dedup_by_id(all_scores, all_ids, n_docs)
+    out_scores, pos = jax.lax.top_k(all_scores, k)
+    out_ids = jnp.take_along_axis(all_ids, pos, axis=1)
+    return out_scores, out_ids
 
 
 def _dedup_with_payload(scores, ids, payload, n_docs: int):
@@ -175,6 +245,7 @@ def _grouped_impl(
 ):
     from .engine import _dedup_by_id, _knn_refine, densify_query_batch
 
+    plan = plan.view()  # packed buffer -> named trace-time slices
     B, Q = q_comps.shape
     G_cap, M = plan.slot_b.shape
     V = index.list_vocab.shape[1]
@@ -278,6 +349,29 @@ def _grouped_impl(
     safe_post = jnp.clip(post_sel, 0, index.postings.shape[0] - 1)
     cand_ids = jnp.take(index.postings, safe_post)
     cand_ids = jnp.where(jnp.isfinite(top_scores), cand_ids, n_docs)
+
+    if params.rescore > 0:
+        from ..ops.pallas_rescore import rescore_exact
+
+        rp = min(params.rescore, pool)
+        dscores, dids, _ = _dedup_with_payload(
+            top_scores, cand_ids, safe_post, n_docs
+        )
+        t2, pos2 = jax.lax.top_k(dscores, rp)
+        ids2 = jnp.take_along_axis(dids, pos2, axis=1)
+        exact = rescore_exact(index, ids2, top_c, top_v, sc,
+                              interpret=interpret)
+        t2 = jnp.where(jnp.isfinite(t2), exact, -jnp.inf)
+        out_scores, opos = jax.lax.top_k(t2, k)
+        out_ids = jnp.take_along_axis(ids2, opos, axis=1)
+
+        if params.n_knn > 0 and index.knn is not None:
+            out_scores, out_ids = _knn_refine_grouped(
+                index, params, top_c, top_v, sc, out_scores, out_ids,
+                interpret,
+            )
+        out_ids = jnp.where(jnp.isfinite(out_scores), out_ids, -1)
+        return out_scores, out_ids
 
     use_ovf = params.use_ovf and index.tile_ovf_comps is not None
     if use_ovf and 0 < params.ovf_pool < pool:

@@ -122,9 +122,11 @@ def test_lv_classes_capacity():
     d = SeismicDataset()
     assert d._component_cap == 1 << 16
     dlv = SeismicDatasetLV()
-    assert dlv._component_cap == 1 << 32
-    assert SeismicIndexLV._component_cap == 1 << 32
-    assert SeismicIndexRawLV._component_cap == 1 << 32
+    # LV cap is 2**31 - 1: component ids are int32 on device, and
+    # PAD_COMPONENT (2**31 - 1) must stay out of the legal id range
+    assert dlv._component_cap == (1 << 31) - 1
+    assert SeismicIndexLV._component_cap == (1 << 31) - 1
+    assert SeismicIndexRawLV._component_cap == (1 << 31) - 1
 
 
 def test_dataset_exact_search_and_convert(toy_documents_path):

@@ -155,3 +155,44 @@ def test_grouped_various_m_and_qc(setup):
             if base is None:
                 base = r
             assert r > 0.5
+
+
+def test_grouped_rescore_exact_scores(setup):
+    """rescore>0 must return EXACT dot products for the returned docs
+    (removes tile quantization + vocab truncation error entirely)."""
+    ds, arrays, ctx, q_comps, q_vals, gt_i = setup
+    dev = arrays.to_device(pallas_tiles=True)
+    params = GroupedParams(k=10, score_cut=64, pool=128, rescore=48)
+    scores, ids = search_grouped(dev, ctx, q_comps, q_vals, params,
+                                 query_cut=10)
+    s_gt, i_gt = exact_search_numpy(ds, q_comps, q_vals, k=50)
+    exact_of = [
+        {int(i): float(s) for s, i in zip(srow, irow)}
+        for srow, irow in zip(s_gt, i_gt)
+    ]
+    checked = 0
+    for b in range(len(ids)):
+        for s, d in zip(scores[b], ids[b]):
+            if d >= 0 and int(d) in exact_of[b]:
+                assert abs(float(s) - exact_of[b][int(d)]) < 1e-3, (
+                    b, d, s, exact_of[b][int(d)])
+                checked += 1
+    assert checked > 50
+
+
+def test_grouped_rescore_knn_refine(setup):
+    """n_knn>0 with rescore uses the compare-kernel refinement and must
+    not lose recall vs no refinement."""
+    ds, arrays, ctx, q_comps, q_vals, gt_i = setup
+    from seismic_tpu.search import knn as knn_mod
+
+    dev0 = arrays.to_device(pallas_tiles=True)
+    arrays.knn = knn_mod.build_knn(arrays, dev0, nknn=6, batch_size=64)
+    dev = arrays.to_device(pallas_tiles=True)
+    base = GroupedParams(k=10, score_cut=64, pool=128, rescore=48)
+    ref = GroupedParams(k=10, score_cut=64, pool=128, rescore=48, n_knn=6)
+    _, i0 = search_grouped(dev, ctx, q_comps, q_vals, base, query_cut=6)
+    _, i1 = search_grouped(dev, ctx, q_comps, q_vals, ref, query_cut=6)
+    r0, r1 = _recall(i0, gt_i), _recall(i1, gt_i)
+    assert r1 >= r0 - 1e-9
+    arrays.knn = None
