@@ -74,7 +74,7 @@ def build_index(
 ) -> IndexArrays:
     """Build the full index from a CSR dataset.
 
-    `value_dtype` in {"f32", "f16", "bf16", "u8"} selects the forward-index
+    `value_dtype` in {"f32", "f16", "bf16", "u16", "u8"} selects the forward-index
     value encoding ("u8" is the DotVByte-equivalent compressed variant,
     reference: src/pylib/dotvbyte.rs).
 
@@ -711,19 +711,28 @@ def _encode_values(vals_f32: np.ndarray, comps: np.ndarray, value_dtype: str):
         import ml_dtypes
 
         return vals_f32.astype(ml_dtypes.bfloat16), None, None
-    if value_dtype == "u8":
+    if value_dtype in ("u8", "u16"):
         # Per-document scalar quantization over the real (non-pad) entries
-        # (DotVByte-equivalent; reference src/pylib/dotvbyte.rs).
+        # (u8: DotVByte-equivalent, reference src/pylib/dotvbyte.rs;
+        # u16: the CLI's fixedu16 value type, reference
+        # src/bin/build_inverted_index.rs:58-66). Vectorized over docs.
+        levels = 255.0 if value_dtype == "u8" else 65535.0
+        out_dt = np.uint8 if value_dtype == "u8" else np.uint16
         n, w = vals_f32.shape
         mask = comps != PAD_COMPONENT
-        codes = np.zeros((n, w), dtype=np.uint8)
-        mins = np.zeros(n, dtype=np.float32)
-        steps = np.zeros(n, dtype=np.float32)
-        for i in range(n):
-            row = vals_f32[i][mask[i]]
-            mn, quant, c = quantize_u8(row)
-            mins[i], steps[i] = mn, quant
-            codes[i, : len(c)] = c
+        big = np.where(mask, vals_f32, np.inf)
+        small = np.where(mask, vals_f32, -np.inf)
+        has = mask.any(axis=1)
+        mins = np.where(has, big.min(axis=1), 0.0).astype(np.float32)
+        maxs = np.where(has, small.max(axis=1), 0.0).astype(np.float32)
+        steps = ((maxs - mins) / levels).astype(np.float32)
+        # degenerate all-equal rows: code 0, dequant == min (matches
+        # quantize_u8 / the reference's NaN-as-u8 == 0 behavior)
+        safe_step = np.where(steps > 0.0, steps, 1.0)
+        codes = np.rint((vals_f32 - mins[:, None]) / safe_step[:, None])
+        codes = np.clip(codes, 0, levels).astype(out_dt)
+        codes = np.where(mask & (steps[:, None] > 0.0), codes, 0)
+        steps = np.where(steps > 0.0, steps, 0.0)
         return codes, mins, steps
     raise ValueError(f"unknown value_dtype: {value_dtype}")
 

@@ -55,7 +55,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     # types
     p.add_argument("--component-type", default="u16", choices=["u16", "u32"])
     p.add_argument("--value-type", default="f16",
-                   choices=["f32", "f16", "bf16", "fixedu8", "dotvbyte"])
+                   choices=["f32", "f16", "bf16", "fixedu16", "fixedu8",
+                            "dotvbyte"])
     # TPU layout
     p.add_argument("--max-block-len", type=int, default=64)
     p.add_argument("--max-doc-nnz", type=int, default=0)
@@ -140,6 +141,7 @@ VALUE_DTYPES = {
     "f32": "f32",
     "f16": "f16",
     "bf16": "bf16",
+    "fixedu16": "u16",
     "fixedu8": "u8",
     "dotvbyte": "u8",
 }

@@ -46,8 +46,12 @@ def main():
     ap.add_argument("--pair-top", type=int, default=16)
     ap.add_argument("--pool", type=int, default=128)
     ap.add_argument("--reps", type=int, default=10)
-    ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
+    ap.add_argument("--dtype", default="bf16",
+                    choices=["bf16", "f32", "i8"])
     ap.add_argument("--sc", type=int, default=64)
+    ap.add_argument("--rescore", type=int, default=0)
+    ap.add_argument("--pool-mode", default="approx",
+                    choices=["approx", "exact"])
     ap.add_argument("--skip-ref", action="store_true")
     args = ap.parse_args()
 
@@ -99,7 +103,8 @@ def main():
     print(f"plan upload: {(time.time()-t0)*1e3:.1f}ms", file=sys.stderr)
 
     gp = GroupedParams(k=10, score_cut=args.sc, pool=args.pool,
-                       compute_dtype=args.dtype)
+                       compute_dtype=args.dtype, rescore=args.rescore,
+                       pool_mode=args.pool_mode)
     t0 = time.time()
     out = search_grouped_jit(index, dplan, q_comps, q_vals, gp)
     _sync(out)

@@ -63,6 +63,15 @@ def score_grouped_pallas(
     G_cap, M, V = qloc.shape
     W_cap = work_region.shape[0]
     assert M % 8 == 0 and V % 128 == 0 and ll_max % SUB == 0
+    if compute_dtype == "i8":
+        # int8 MXU path: qloc is pre-quantized int8 (per-pair scale applied
+        # downstream, in the regroup stage); the qsum centering term is
+        # computed in-kernel from the int8 operand, so no qsum operand.
+        assert qloc.dtype == jnp.int8
+        return _score_grouped_i8(
+            doc_tiles_i8, tile_scale3d, qloc, work_region, work_g, work_s,
+            ll_max, interpret,
+        )
     cdt = jnp.bfloat16 if compute_dtype == "bf16" else jnp.float32
 
     def kernel_fixup(region_ref, g_ref, s_ref, tile_ref, scale_ref,
@@ -136,3 +145,74 @@ def score_grouped_pallas(
         out_shape=jax.ShapeDtypeStruct((G_cap, M, ll_max), jnp.float32),
         interpret=interpret,
     )(work_region, work_g, work_s, *operands)
+
+
+def _score_grouped_i8(
+    doc_tiles_i8,  # int8 [n_sub_total * SUB, V]
+    tile_scale3d,  # f32 [n_sub_total, 8, 128]
+    qloc_i8,  # int8 [G_cap, M, V] quantized query projections
+    work_region,
+    work_g,
+    work_s,
+    ll_max: int,
+    interpret: bool,
+):
+    """int8 x int8 -> int32 MXU variant (2x the bf16 rate on v5e; probed in
+    harness/microbench_qloc.py). Returns scores in QUANTIZED qloc units —
+    the caller multiplies by the per-pair qloc scale during regroup:
+
+        score = qscale[pair] * tile_scale[row] * (q_i8 . (u8-128) + 128*sum(q_i8))
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    G_cap, M, V = qloc_i8.shape
+    W_cap = work_region.shape[0]
+
+    def kernel(region_ref, g_ref, s_ref, tile_ref, scale_ref, qloc_ref,
+               out_ref):
+        t = tile_ref[:] ^ jnp.int8(-128)  # u8 bits -> centered i8 (u8 - 128)
+        q = qloc_ref[0]  # int8 [M, V]
+        dot = jax.lax.dot_general(
+            q, t, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # [M, SUB] i32
+        rowsum = jnp.sum(q.astype(jnp.int32), axis=1, keepdims=True)  # [M,1]
+        s = (dot + 128 * rowsum).astype(jnp.float32)
+        out_ref[0] = s * scale_ref[0, 0, :][None, :]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(W_cap,),
+        in_specs=[
+            pl.BlockSpec(
+                (SUB, V),
+                lambda w, region, g, s: (region[w], 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 8, 128),
+                lambda w, region, g, s: (region[w], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, M, V),
+                lambda w, region, g, s: (g[w], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, M, SUB),
+            lambda w, region, g, s: (g[w], 0, s[w]),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((G_cap, M, ll_max), jnp.float32),
+        interpret=interpret,
+    )(work_region, work_g, work_s, doc_tiles_i8, tile_scale3d, qloc_i8)

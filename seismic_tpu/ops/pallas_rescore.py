@@ -1,84 +1,91 @@
 """Pallas TPU kernel: exact candidate re-scoring from forward-index rows.
 
-For each candidate document (already gathered as a padded forward row of
-component ids + decoded f32 values), computes the EXACT dot product with
-the query:
+For each candidate document (gathered as a padded forward row of component
+ids + decoded f32 values), computes the EXACT dot product with the query:
 
-    score[n] = sum_w vals[w, n] * sum_i qv[i, n] * [comps[w, n] == qc[i, n]]
+    score[b, r] = sum_w vals[b, r, w] * qv[b, i] * [comps[b, r, w] == qc[b, i]]
 
-via the same in-VMEM compare-accumulate as the qloc projection kernel
-(ops/pallas_qloc.py) — operands transposed, candidates on the lane axis.
+Layout (v2, row-major): one grid step per query; the step's block holds the
+query's R candidate rows [R, W] (comps + vals), and the query's top-sc terms
+arrive via scalar prefetch (qc int32, qv f32-bitcast-int32) so each compare
+is a free scalar splat against the [R, W] tile. This avoids the [B*R, W] ->
+[W, B*R] transposes the v1 lane-major layout required (two ~100 MB relayouts
+that dominated its cost).
 
 This one kernel serves three round-2 needs:
-- final-pool exact re-rank (replaces the overflow-entry correction AND
-  removes the u8 tile quantization error from the returned scores);
+- final-pool exact re-rank (removes the u8 tile quantization error and the
+  local-vocab truncation error from returned scores);
 - TPU-fast k-NN refinement (reference Knn::refine,
   inverted_index.rs:551-593) — neighbor rows are wide-row gathers, which
   run at HBM speed on this device, then exact-scored here;
-- the memory-parity mode: coarse tiles (small local vocab / int4) rank a
-  pool, this kernel restores exact scores for the survivors.
+- the memory-parity mode: coarse ranking picks a pool, this kernel restores
+  exact scores for the survivors.
 """
 
 from __future__ import annotations
 
-LANES = 128  # candidates per grid step
+LANES = 128
 
 
-def score_docs_pallas(
-    compsT,  # int32 [W, N_cap] candidate forward rows (PAD-padded)
-    valsT,  # f32 [W, N_cap] decoded values (0 at padding)
-    qcT,  # int32 [SCP, N_cap] query term ids per candidate
-    qvT,  # f32 [SCP, N_cap] query term values (0 at padding)
+def score_docs_rowmajor_pallas(
+    comps,  # int32 [B, R, W] candidate forward rows (PAD-padded)
+    vals,  # f32 [B, R, W] decoded values (0 at padding)
+    qc_flat,  # int32 [B * SCP] query term ids (PAD-padded)
+    qv_bits,  # int32 [B * SCP] query term values, f32 bitcast
     sc: int,  # number of real term slots to scan
     interpret: bool = False,
 ):
-    """Returns exact scores f32 [N_cap]."""
+    """Returns exact scores f32 [B, R_pad] (R padded up to 8)."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    W, N_cap = compsT.shape
-    SCP = qcT.shape[0]
-    assert N_cap % LANES == 0 and W % 8 == 0 and SCP % 8 == 0
+    B, R, W = comps.shape
+    SCP = qc_flat.shape[0] // B
+    assert R % 8 == 0 and W % LANES == 0
     assert sc <= SCP
 
-    def kernel(comps_ref, vals_ref, qc_ref, qv_ref, out_ref):
-        comps = comps_ref[:]  # [W, LANES]
-        qmatch = jnp.zeros((W, LANES), jnp.float32)
-        for i in range(sc):  # static unroll; sublane slices are free
-            c = qc_ref[i : i + 1, :]  # [1, LANES]
-            v = qv_ref[i : i + 1, :]
-            qmatch = qmatch + jnp.where(comps == c, v, 0.0)
-        s = jnp.sum(vals_ref[:] * qmatch, axis=0, keepdims=True)  # [1, L]
-        out_ref[:] = jnp.broadcast_to(s, (8, LANES))
+    def kernel(qc_ref, qv_ref, comps_ref, vals_ref, out_ref):
+        b = pl.program_id(0)
+        c = comps_ref[0]  # [R, W]
+        acc = jnp.zeros((R, W), jnp.float32)
+        for i in range(sc):  # static unroll; scalar splat per term
+            tc = qc_ref[b * SCP + i]
+            tv = jax.lax.bitcast_convert_type(qv_ref[b * SCP + i],
+                                              jnp.float32)
+            acc = acc + jnp.where(c == tc, tv, 0.0)
+        # lane reduce -> [R, 1], lane-splat into the [R, LANES] out block
+        s = jnp.sum(vals_ref[0] * acc, axis=1, keepdims=True)
+        out_ref[0] = jnp.broadcast_to(s, (R, LANES))
 
-    grid = (N_cap // LANES,)
+    grid = (B,)
     out = pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((W, LANES), lambda n: (0, n),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((W, LANES), lambda n: (0, n),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((SCP, LANES), lambda n: (0, n),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((SCP, LANES), lambda n: (0, n),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((8, LANES), lambda n: (0, n),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((8, N_cap), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, R, W), lambda b, qc, qv: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, R, W), lambda b, qc, qv: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, R, LANES), lambda b, qc, qv: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, R, LANES), jnp.float32),
         interpret=interpret,
-    )(compsT, valsT, qcT, qvT)
-    return out[0]
+    )(qc_flat, qv_bits, comps, vals)
+    return out[:, :, 0]
 
 
 def rescore_exact(index, doc_ids, top_c, top_v, sc: int,
                   interpret: bool = False):
     """Exact scores of `doc_ids` [B, R] against each row's query terms
-    (top_c/top_v [B, sc]). Gathers forward rows (wide-row gather: HBM
+    (top_c/top_v [B, >=sc]). Gathers forward rows (wide-row gather: HBM
     speed), decodes values, and runs the compare kernel. Returns f32
     [B, R]."""
     import jax.numpy as jnp
@@ -95,33 +102,31 @@ def rescore_exact(index, doc_ids, top_c, top_v, sc: int,
         index, index.fwd_vals[flat], comps, flat
     )  # f32 [B*R, W]
     W = comps.shape[1]
-    Wp = -(-W // 8) * 8
-    N = B * R
-    N_cap = -(-N // LANES) * LANES
-    compsT = comps.T
-    valsT = vals.T
-    qcT = jnp.broadcast_to(
-        top_c[:, None, :sc], (B, R, sc)
-    ).reshape(N, sc).T
-    qvT = jnp.broadcast_to(
-        top_v[:, None, :sc], (B, R, sc)
-    ).reshape(N, sc).T
-    SCP = -(-sc // 8) * 8
+    Wp = -(-W // LANES) * LANES
+    Rp = -(-R // 8) * 8
     if Wp > W:
-        compsT = jnp.pad(compsT, ((0, Wp - W), (0, 0)),
-                         constant_values=PAD_COMPONENT)
-        valsT = jnp.pad(valsT, ((0, Wp - W), (0, 0)))
+        comps = jnp.pad(comps, ((0, 0), (0, Wp - W)),
+                        constant_values=PAD_COMPONENT)
+        vals = jnp.pad(vals, ((0, 0), (0, Wp - W)))
+    comps = comps.reshape(B, R, Wp)
+    vals = vals.reshape(B, R, Wp)
+    if Rp > R:
+        comps = jnp.pad(comps, ((0, 0), (0, Rp - R), (0, 0)),
+                        constant_values=PAD_COMPONENT)
+        vals = jnp.pad(vals, ((0, 0), (0, Rp - R), (0, 0)))
+    SCP = -(-sc // 8) * 8
+    qc = top_c[:, :sc].astype(jnp.int32)
+    qv = top_v[:, :sc].astype(jnp.float32)
     if SCP > sc:
-        qcT = jnp.pad(qcT, ((0, SCP - sc), (0, 0)),
-                      constant_values=PAD_COMPONENT)
-        qvT = jnp.pad(qvT, ((0, SCP - sc), (0, 0)))
-    if N_cap > N:
-        compsT = jnp.pad(compsT, ((0, 0), (0, N_cap - N)),
-                         constant_values=PAD_COMPONENT)
-        valsT = jnp.pad(valsT, ((0, 0), (0, N_cap - N)))
-        qcT = jnp.pad(qcT, ((0, 0), (0, N_cap - N)),
-                      constant_values=PAD_COMPONENT)
-        qvT = jnp.pad(qvT, ((0, 0), (0, N_cap - N)))
-    scores = score_docs_pallas(compsT, valsT, qcT, qvT, sc,
-                               interpret=interpret)
-    return scores[:N].reshape(B, R)
+        qc = jnp.pad(qc, ((0, 0), (0, SCP - sc)),
+                     constant_values=PAD_COMPONENT)
+        qv = jnp.pad(qv, ((0, 0), (0, SCP - sc)))
+    from jax.experimental.pallas import tpu as pltpu  # noqa: F401
+    import jax
+
+    qv_bits = jax.lax.bitcast_convert_type(qv, jnp.int32)
+    scores = score_docs_rowmajor_pallas(
+        comps, vals, qc.reshape(B * SCP), qv_bits.reshape(B * SCP), sc,
+        interpret=interpret,
+    )
+    return scores[:, :R]

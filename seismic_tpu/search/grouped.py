@@ -68,6 +68,16 @@ class GroupedParams:
     # qloc computation: "pallas" = in-VMEM projection kernel,
     # "einsum" = the round-2 XLA compare-einsum (reference path)
     qloc_mode: str = "pallas"
+    # candidate-pool selection: "approx" = lax.approx_max_k (TPU PartialReduce,
+    # several x faster than the full sort of lax.top_k; per-element recall
+    # `pool_recall` on the PADDED row, which overwhelmingly drops tail-of-pool
+    # entries, not top-k ones), "exact" = lax.top_k
+    pool_mode: str = "approx"
+    pool_recall: float = 0.98
+    # profiling: truncate the program after a stage ("qloc", "expand",
+    # "kernel", "regroup", "pool", "prerank") and return that stage's
+    # output — used by the harness to attribute fused-program time
+    stop_after: str = ""
 
 
 # plan fields packed into ONE int32 host array -> ONE host->device
@@ -300,6 +310,8 @@ def _grouped_impl(
         qloc_pairs = project_qloc_pallas(
             vocabT, qcT, qvT, sc, interpret=interpret
         ).T[:P]  # [P, V]
+        if params.stop_after == "qloc":
+            return qloc_pairs, qloc_pairs
     else:
         from .engine import _qloc_compare
 
@@ -308,12 +320,29 @@ def _grouped_impl(
             B * QC, V
         )
 
-    qloc = qloc_pairs[plan.slot_pair].reshape(G_cap, M, V)
-    # lane-replicated 128 * sum_v qloc for the centered-tile correction
-    qsum_pairs = 128.0 * jnp.sum(qloc_pairs, axis=-1)  # [P]
-    qsum = jnp.broadcast_to(
-        qsum_pairs[plan.slot_pair].reshape(G_cap, M, 1), (G_cap, M, 128)
-    )
+    if params.compute_dtype == "i8":
+        # quantize each pair's projection to int8 (symmetric, per-pair
+        # scale); the kernel runs an i8 x i8 -> i32 MXU matmul (2x bf16
+        # rate) and the scale is re-applied per pair in the regroup below.
+        # Expansion traffic drops 4x vs f32 qloc.
+        amax = jnp.max(jnp.abs(qloc_pairs), axis=-1, keepdims=True)
+        qscale_pairs = jnp.maximum(amax, 1e-20) / 127.0  # [P, 1]
+        q_i8 = jnp.round(qloc_pairs / qscale_pairs).astype(jnp.int8)
+        qloc = q_i8[plan.slot_pair].reshape(G_cap, M, V)
+        qsum = None
+        # qloc_pairs rows are already in (b, qc) pair order
+        pair_scale = qscale_pairs[: B * QC, 0]
+    else:
+        qloc = qloc_pairs[plan.slot_pair].reshape(G_cap, M, V)
+        # lane-replicated 128 * sum_v qloc for the centered-tile correction
+        qsum_pairs = 128.0 * jnp.sum(qloc_pairs, axis=-1)  # [P]
+        qsum = jnp.broadcast_to(
+            qsum_pairs[plan.slot_pair].reshape(G_cap, M, 1), (G_cap, M, 128)
+        )
+        pair_scale = None
+
+    if params.stop_after == "expand":
+        return qloc, qloc
 
     # ---- grouped tile scoring on the MXU ----
     scores = score_grouped_pallas(
@@ -328,27 +357,40 @@ def _grouped_impl(
         compute_dtype=params.compute_dtype,
         qsum=qsum,
     )  # [G_cap, M, LLMAX]
+    if params.stop_after == "kernel":
+        return scores, scores
 
     # ---- regroup score rows to query order (wide-row gather: HBM-speed
     # on this device) and pool per query, exactly like the round-1 tail ----
     pv = scores.reshape(G_cap * M, LLMAX)[
         plan.pair_slot.reshape(B * QC)
     ].reshape(B, QC, LLMAX)
+    if pair_scale is not None:
+        pv = pv * pair_scale.reshape(B, QC, 1)
     rows_ok = (
         jnp.arange(LLMAX, dtype=jnp.int32)[None, None, :]
         < plan.pair_len[..., None]
     ) & plan.pair_valid[..., None]
     pv = jnp.where(rows_ok, pv, -jnp.inf).reshape(B, QC * LLMAX)
+    if params.stop_after == "regroup":
+        return pv, pv
 
     # ---- per-query pool + dedup + overflow re-rank + top-k ----
     pool = min(params.pool if params.pool > 0 else 8 * k, QC * LLMAX)
-    top_scores, sel = jax.lax.top_k(pv, pool)
+    if params.pool_mode == "approx" and pool < QC * LLMAX:
+        top_scores, sel = jax.lax.approx_max_k(
+            pv, pool, recall_target=params.pool_recall
+        )
+    else:
+        top_scores, sel = jax.lax.top_k(pv, pool)
     qc_slot = sel // LLMAX
     off = sel % LLMAX
     post_sel = jnp.take_along_axis(plan.pair_pstart, qc_slot, axis=1) + off
     safe_post = jnp.clip(post_sel, 0, index.postings.shape[0] - 1)
     cand_ids = jnp.take(index.postings, safe_post)
     cand_ids = jnp.where(jnp.isfinite(top_scores), cand_ids, n_docs)
+    if params.stop_after == "pool":
+        return top_scores, cand_ids
 
     if params.rescore > 0:
         from ..ops.pallas_rescore import rescore_exact
@@ -359,6 +401,8 @@ def _grouped_impl(
         )
         t2, pos2 = jax.lax.top_k(dscores, rp)
         ids2 = jnp.take_along_axis(dids, pos2, axis=1)
+        if params.stop_after == "prerank":
+            return t2, ids2
         exact = rescore_exact(index, ids2, top_c, top_v, sc,
                               interpret=interpret)
         t2 = jnp.where(jnp.isfinite(t2), exact, -jnp.inf)

@@ -218,3 +218,37 @@ def test_builder_block_structure(rng):
     # dense summaries exist and are scaled
     assert arrays.dense_summary is not None
     assert arrays.dense_summary.shape[0] == arrays.block_start.shape[0]
+
+
+def test_value_dtype_u16_roundtrip():
+    """fixedu16 value type (reference: build_inverted_index.rs:58-66):
+    per-doc scalar quantization at 16-bit resolution; decoded scores
+    must track f32 within quantization tolerance."""
+    import numpy as np
+    from seismic_tpu.build.builder import _encode_values
+    from seismic_tpu.data.sparse import PAD_COMPONENT
+
+    rng = np.random.default_rng(3)
+    n, w = 32, 24
+    comps = rng.integers(0, 500, (n, w)).astype(np.int32)
+    comps[:, -4:] = PAD_COMPONENT
+    vals = (rng.random((n, w)) * 3.0).astype(np.float32)
+    # a degenerate all-equal row and an empty row
+    vals[5, :] = 1.25
+    comps[6, :] = PAD_COMPONENT
+    codes, mins, steps = _encode_values(vals, comps, "u16")
+    assert codes.dtype == np.uint16
+    dec = codes.astype(np.float32) * steps[:, None] + mins[:, None]
+    mask = comps != PAD_COMPONENT
+    err = np.abs(np.where(mask, dec - vals, 0.0))
+    assert err.max() < 3.0 / 65535.0 * 0.51 + 1e-6
+    # degenerate row decodes to the constant
+    assert np.allclose(dec[5][mask[5]], 1.25)
+    # u8 path still matches the reference quantizer
+    codes8, mins8, steps8 = _encode_values(vals, comps, "u8")
+    from seismic_tpu.build.summaries import quantize_u8
+    for i in range(n):
+        mn, q, c = quantize_u8(vals[i][mask[i]])
+        assert np.isclose(mins8[i], mn)
+        assert np.isclose(steps8[i], q)
+        assert (codes8[i][mask[i]] == c).all()

@@ -196,3 +196,51 @@ def test_grouped_rescore_knn_refine(setup):
     r0, r1 = _recall(i0, gt_i), _recall(i1, gt_i)
     assert r1 >= r0 - 1e-9
     arrays.knn = None
+
+
+def test_grouped_i8_mode(setup):
+    """int8 MXU mode: per-pair symmetric qloc quantization applied in the
+    regroup stage must track the bf16 path closely (the i8 rounding error
+    is below the u8 tile quantization already present)."""
+    ds, arrays, ctx, q_comps, q_vals, gt_i = setup
+    dev = arrays.to_device(pallas_tiles=True)
+    base = GroupedParams(k=10, score_cut=64, pool=128,
+                         compute_dtype="bf16", pool_mode="exact")
+    i8 = GroupedParams(k=10, score_cut=64, pool=128,
+                       compute_dtype="i8", pool_mode="exact")
+    s_b, i_b = search_grouped(dev, ctx, q_comps, q_vals, base, query_cut=10)
+    s_8, i_8 = search_grouped(dev, ctx, q_comps, q_vals, i8, query_cut=10)
+    r_b = _recall(i_b, gt_i)
+    r_8 = _recall(i_8, gt_i)
+    assert r_8 >= r_b - 0.02
+    # scores of agreeing ids must match to i8-quantization tolerance
+    for b in range(len(i_b)):
+        mb = {int(d): float(s) for s, d in zip(s_b[b], i_b[b]) if d >= 0}
+        for s, d in zip(s_8[b], i_8[b]):
+            if d >= 0 and int(d) in mb:
+                assert abs(float(s) - mb[int(d)]) <= 0.05 * max(
+                    1.0, abs(mb[int(d)])
+                )
+
+
+def test_grouped_i8_rescore(setup):
+    """i8 ranking + exact rescore returns exact scores."""
+    ds, arrays, ctx, q_comps, q_vals, gt_i = setup
+    dev = arrays.to_device(pallas_tiles=True)
+    params = GroupedParams(k=10, score_cut=64, pool=128, rescore=48,
+                           compute_dtype="i8")
+    scores, ids = search_grouped(dev, ctx, q_comps, q_vals, params,
+                                 query_cut=10)
+    s_gt, i_gt = exact_search_numpy(ds, q_comps, q_vals, k=50)
+    exact_of = [
+        {int(i): float(s) for s, i in zip(srow, irow)}
+        for srow, irow in zip(s_gt, i_gt)
+    ]
+    checked = 0
+    for b in range(len(ids)):
+        for s, d in zip(scores[b], ids[b]):
+            if d >= 0 and int(d) in exact_of[b]:
+                assert abs(float(s) - exact_of[b][int(d)]) < 1e-3
+                checked += 1
+    assert checked > len(ids) * 5
+    assert _recall(ids, gt_i) > 0.5
