@@ -33,13 +33,14 @@ def score_grouped_pallas(
     doc_tiles_i8,  # int8 [n_sub_total * SUB, V]
     tile_scale3d,  # f32 [n_sub_total, 8, 128]
     qloc,  # f32 [G_cap, M, V] per-slot query projections
-    work_region,  # int32 [W_cap] subtile address per work item
+    work_region,  # int32 [W_cap] SUPER-tile address per work item
     work_g,  # int32 [W_cap] destination group
-    work_s,  # int32 [W_cap] subtile slot within group
-    ll_max: int,  # output row capacity per group (multiple of SUB)
+    work_s,  # int32 [W_cap] super-tile slot within group
+    ll_max: int,  # output row capacity per group (multiple of csub*SUB)
     interpret: bool = False,
     compute_dtype: str = "bf16",
     qsum=None,  # f32 [G_cap, M, 128] lane-replicated 128*sum_v(qloc[g,m,:])
+    csub: int = 1,  # subtiles per work item (aligned-layout granularity)
 ):
     """Returns UNMASKED scores f32 [G_cap, M, ll_max]; blocks not covered
     by a work item hold garbage (caller masks with group_nrows/slot
@@ -62,7 +63,7 @@ def score_grouped_pallas(
 
     G_cap, M, V = qloc.shape
     W_cap = work_region.shape[0]
-    assert M % 8 == 0 and V % 128 == 0 and ll_max % SUB == 0
+    assert M % 8 == 0 and V % 128 == 0 and ll_max % (csub * SUB) == 0
     if compute_dtype == "i8":
         # int8 MXU path: qloc is pre-quantized int8 (per-pair scale applied
         # downstream, in the regroup stage); the qsum centering term is
@@ -70,9 +71,11 @@ def score_grouped_pallas(
         assert qloc.dtype == jnp.int8
         return _score_grouped_i8(
             doc_tiles_i8, tile_scale3d, qloc, work_region, work_g, work_s,
-            ll_max, interpret,
+            ll_max, interpret, csub,
         )
     cdt = jnp.bfloat16 if compute_dtype == "bf16" else jnp.float32
+
+    ROWS = csub * SUB
 
     def kernel_fixup(region_ref, g_ref, s_ref, tile_ref, scale_ref,
                      qloc_ref, out_ref):
@@ -85,7 +88,7 @@ def score_grouped_pallas(
         s = jax.lax.dot_general(
             q, t, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [M, SUB]
+        )  # [M, ROWS]
         out_ref[0] = s * scale_ref[0, 0, :][None, :]
 
     def kernel_centered(region_ref, g_ref, s_ref, tile_ref, scale_ref,
@@ -95,17 +98,20 @@ def score_grouped_pallas(
         s = jax.lax.dot_general(
             q, t, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [M, SUB]
-        out_ref[0] = (s + qsum_ref[0]) * scale_ref[0, 0, :][None, :]
+        )  # [M, ROWS]
+        qs = qsum_ref[0]
+        if csub > 1:
+            qs = jnp.concatenate([qs] * csub, axis=1)
+        out_ref[0] = (s + qs) * scale_ref[0, 0, :][None, :]
 
     in_specs = [
         pl.BlockSpec(
-            (SUB, V),
+            (ROWS, V),
             lambda w, region, g, s: (region[w], 0),
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
-            (1, 8, 128),
+            (1, 8, ROWS),
             lambda w, region, g, s: (region[w], 0, 0),
             memory_space=pltpu.VMEM,
         ),
@@ -133,7 +139,7 @@ def score_grouped_pallas(
         grid=(W_cap,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, M, SUB),
+            (1, M, ROWS),
             lambda w, region, g, s: (g[w], 0, s[w]),
             memory_space=pltpu.VMEM,
         ),
@@ -149,13 +155,14 @@ def score_grouped_pallas(
 
 def _score_grouped_i8(
     doc_tiles_i8,  # int8 [n_sub_total * SUB, V]
-    tile_scale3d,  # f32 [n_sub_total, 8, 128]
+    tile_scale3d,  # f32 [n_super, 8, csub*128]
     qloc_i8,  # int8 [G_cap, M, V] quantized query projections
     work_region,
     work_g,
     work_s,
     ll_max: int,
     interpret: bool,
+    csub: int = 1,
 ):
     """int8 x int8 -> int32 MXU variant (2x the bf16 rate on v5e; probed in
     harness/microbench_qloc.py). Returns scores in QUANTIZED qloc units —
@@ -170,6 +177,7 @@ def _score_grouped_i8(
 
     G_cap, M, V = qloc_i8.shape
     W_cap = work_region.shape[0]
+    ROWS = csub * SUB
 
     def kernel(region_ref, g_ref, s_ref, tile_ref, scale_ref, qloc_ref,
                out_ref):
@@ -178,7 +186,7 @@ def _score_grouped_i8(
         dot = jax.lax.dot_general(
             q, t, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
-        )  # [M, SUB] i32
+        )  # [M, ROWS] i32
         rowsum = jnp.sum(q.astype(jnp.int32), axis=1, keepdims=True)  # [M,1]
         s = (dot + 128 * rowsum).astype(jnp.float32)
         out_ref[0] = s * scale_ref[0, 0, :][None, :]
@@ -188,12 +196,12 @@ def _score_grouped_i8(
         grid=(W_cap,),
         in_specs=[
             pl.BlockSpec(
-                (SUB, V),
+                (ROWS, V),
                 lambda w, region, g, s: (region[w], 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 8, 128),
+                (1, 8, ROWS),
                 lambda w, region, g, s: (region[w], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -204,7 +212,7 @@ def _score_grouped_i8(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, M, SUB),
+            (1, M, ROWS),
             lambda w, region, g, s: (g[w], 0, s[w]),
             memory_space=pltpu.VMEM,
         ),

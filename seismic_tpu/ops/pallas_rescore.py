@@ -7,7 +7,7 @@ ids + decoded f32 values), computes the EXACT dot product with the query:
 
 Layout (v2, row-major): one grid step per query; the step's block holds the
 query's R candidate rows [R, W] (comps + vals), and the query's top-sc terms
-arrive via scalar prefetch (qc int32, qv f32-bitcast-int32) so each compare
+arrive via scalar prefetch (qc int32, qv f32 SMEM scalars) so each compare
 is a free scalar splat against the [R, W] tile. This avoids the [B*R, W] ->
 [W, B*R] transposes the v1 lane-major layout required (two ~100 MB relayouts
 that dominated its cost).
@@ -31,7 +31,8 @@ def score_docs_rowmajor_pallas(
     comps,  # int32 [B, R, W] candidate forward rows (PAD-padded)
     vals,  # f32 [B, R, W] decoded values (0 at padding)
     qc_flat,  # int32 [B * SCP] query term ids (PAD-padded)
-    qv_bits,  # int32 [B * SCP] query term values, f32 bitcast
+    qv_flat,  # f32 [B * SCP] query term values (f32 SMEM scalars work
+    # on this device -- probed)
     sc: int,  # number of real term slots to scan
     interpret: bool = False,
 ):
@@ -51,10 +52,8 @@ def score_docs_rowmajor_pallas(
         c = comps_ref[0]  # [R, W]
         acc = jnp.zeros((R, W), jnp.float32)
         for i in range(sc):  # static unroll; scalar splat per term
-            tc = qc_ref[b * SCP + i]
-            tv = jax.lax.bitcast_convert_type(qv_ref[b * SCP + i],
-                                              jnp.float32)
-            acc = acc + jnp.where(c == tc, tv, 0.0)
+            acc = acc + jnp.where(c == qc_ref[b * SCP + i],
+                                  qv_ref[b * SCP + i], 0.0)
         # lane reduce -> [R, 1], lane-splat into the [R, LANES] out block
         s = jnp.sum(vals_ref[0] * acc, axis=1, keepdims=True)
         out_ref[0] = jnp.broadcast_to(s, (R, LANES))
@@ -78,7 +77,7 @@ def score_docs_rowmajor_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct((B, R, LANES), jnp.float32),
         interpret=interpret,
-    )(qc_flat, qv_bits, comps, vals)
+    )(qc_flat, qv_flat, comps, vals)
     return out[:, :, 0]
 
 
@@ -121,12 +120,18 @@ def rescore_exact(index, doc_ids, top_c, top_v, sc: int,
         qc = jnp.pad(qc, ((0, 0), (0, SCP - sc)),
                      constant_values=PAD_COMPONENT)
         qv = jnp.pad(qv, ((0, 0), (0, SCP - sc)))
-    from jax.experimental.pallas import tpu as pltpu  # noqa: F401
-    import jax
-
-    qv_bits = jax.lax.bitcast_convert_type(qv, jnp.int32)
-    scores = score_docs_rowmajor_pallas(
-        comps, vals, qc.reshape(B * SCP), qv_bits.reshape(B * SCP), sc,
-        interpret=interpret,
-    )
+    # SMEM budget: the scalar-prefetch arrays live in SMEM (scoped); cap
+    # B*SCP per kernel call and chunk the batch (observed: 2048*64 s32+f32
+    # = 1 MB overflows the scoped SMEM allocation on v5e)
+    max_rows = max(1, 65536 // SCP)
+    outs = []
+    for s0 in range(0, B, max_rows):
+        s1 = min(s0 + max_rows, B)
+        outs.append(score_docs_rowmajor_pallas(
+            comps[s0:s1], vals[s0:s1],
+            qc[s0:s1].reshape((s1 - s0) * SCP),
+            qv[s0:s1].reshape((s1 - s0) * SCP), sc,
+            interpret=interpret,
+        ))
+    scores = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
     return scores[:, :R]

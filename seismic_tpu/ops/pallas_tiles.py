@@ -93,27 +93,36 @@ def score_tiles_pallas(
     )(tile_block_idx, doc_tiles_i8, tile_scale3d, qloc)
 
 
-def tile_region_starts(arrays) -> np.ndarray:
+def tile_region_starts(arrays, csub: int = 1) -> np.ndarray:
     """Subtile (SUB-row unit) start of each list's region in the aligned
-    tile layout. Pure metadata — does NOT materialize the tiles."""
+    tile layout. With csub > 1 every list's region is padded to a multiple
+    of csub subtiles, so work items covering csub consecutive subtiles
+    (one [csub*SUB, V] DMA, amortizing per-grid-step overhead) stay
+    block-aligned. Pure metadata — does NOT materialize the tiles."""
     list_len = arrays.list_len.astype(np.int64)
     n_tiles_per_list = np.maximum(1, -(-list_len // SUB))
+    if csub > 1:
+        n_tiles_per_list = csub * (-(-n_tiles_per_list // csub))
     region_start = np.zeros(len(list_len), dtype=np.int64)
     np.cumsum(n_tiles_per_list[:-1], out=region_start[1:])
     return region_start
 
 
-def pallas_align_doc_tiles(arrays, ll_pad: int):
+def pallas_align_doc_tiles(arrays, ll_pad: int, csub: int = 1):
     """Re-pack `doc_tiles`/`doc_tile_scale` so every list's region starts at
-    a multiple of SUB rows; the tail is padded by `ll_pad` rows so any
-    region can stream `ll_pad` rows without bounds checks.
+    a multiple of SUB rows (csub*SUB rows when csub > 1); the tail is
+    padded by `ll_pad` rows so any region can stream `ll_pad` rows without
+    bounds checks.
 
     Returns (tiles int8 [n_sub_total*SUB, V], scale3d f32
-    [n_sub_total, 8, 128], region_start_subtiles int32 [n_lists]).
+    [n_super, 8, csub*128], region_start_subtiles int32 [n_lists]).
     Host-side, one-off per index (vectorized: one fancy-index row copy)."""
+    assert ll_pad % (csub * SUB) == 0
     list_len = arrays.list_len.astype(np.int64)
     n_tiles_per_list = np.maximum(1, -(-list_len // SUB))
-    region_start = tile_region_starts(arrays)
+    if csub > 1:
+        n_tiles_per_list = csub * (-(-n_tiles_per_list // csub))
+    region_start = tile_region_starts(arrays, csub)
     n_sub_total = int(n_tiles_per_list.sum()) + ll_pad // SUB
     total_rows = n_sub_total * SUB
     V = arrays.doc_tiles.shape[1]
@@ -131,7 +140,9 @@ def pallas_align_doc_tiles(arrays, ll_pad: int):
         dst_idx = np.repeat(region_start * SUB, list_len) + intra
         tiles[dst_idx] = arrays.doc_tiles[src_idx]
         scale[dst_idx] = arrays.doc_tile_scale[src_idx]
+    lanes = csub * SUB
+    n_super = total_rows // lanes
     scale3d = np.repeat(
-        scale.reshape(n_sub_total, 1, SUB), 8, axis=1
+        scale.reshape(n_super, 1, lanes), 8, axis=1
     ).astype(np.float32)
     return tiles.view(np.int8), scale3d, region_start.astype(np.int32)

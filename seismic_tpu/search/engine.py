@@ -243,6 +243,11 @@ def _tiles_search(
         from ..ops.pallas_tiles import GROUP, score_tiles_pallas
         from ..ops_pallas_prep import ll_pad_for
 
+        if index.tile_csub != 1:
+            raise ValueError(
+                "the engine tiles path requires a tile_csub=1 aligned "
+                "layout; csub>1 uploads serve the grouped path only"
+            )
         LL = ll_pad_for(index.max_list_len)
         BQ = B * QC
         # The kernel grid requires BQ % GROUP == 0; pad extra rows against

@@ -74,6 +74,12 @@ class GroupedParams:
     # entries, not top-k ones), "exact" = lax.top_k
     pool_mode: str = "approx"
     pool_recall: float = 0.98
+    # rescore-path dedup placement: "pre" = sort-dedup the whole pool
+    # before picking the rescore set (max unique candidates); "post" =
+    # rescore the raw top-`rescore` (dups waste some rescore lanes) and
+    # dedup the small exact-scored set — skips the pool-wide 3-operand
+    # variadic sort, which is the costliest tail op on this device
+    dedup_mode: str = "pre"
     # profiling: truncate the program after a stage ("qloc", "expand",
     # "kernel", "regroup", "pool", "prerank") and return that stage's
     # output — used by the harness to attribute fused-program time
@@ -261,9 +267,10 @@ def _grouped_impl(
     V = index.list_vocab.shape[1]
     n_docs = index.n_docs
     k = params.k
+    csub = index.tile_csub
     from ..ops_pallas_prep import ll_pad_for
 
-    LLMAX = ll_pad_for(index.max_list_len)
+    LLMAX = ll_pad_for(index.max_list_len, csub)
 
     valid_q = q_comps != PAD_COMPONENT
     qv = jnp.where(valid_q, q_vals, 0.0)
@@ -356,6 +363,7 @@ def _grouped_impl(
         interpret=interpret,
         compute_dtype=params.compute_dtype,
         qsum=qsum,
+        csub=csub,
     )  # [G_cap, M, LLMAX]
     if params.stop_after == "kernel":
         return scores, scores
@@ -396,16 +404,28 @@ def _grouped_impl(
         from ..ops.pallas_rescore import rescore_exact
 
         rp = min(params.rescore, pool)
-        dscores, dids, _ = _dedup_with_payload(
-            top_scores, cand_ids, safe_post, n_docs
-        )
-        t2, pos2 = jax.lax.top_k(dscores, rp)
-        ids2 = jnp.take_along_axis(dids, pos2, axis=1)
-        if params.stop_after == "prerank":
-            return t2, ids2
-        exact = rescore_exact(index, ids2, top_c, top_v, sc,
-                              interpret=interpret)
-        t2 = jnp.where(jnp.isfinite(t2), exact, -jnp.inf)
+        if params.dedup_mode == "post":
+            # pool scores come back (approximately) sorted; rescore the
+            # raw top-rp, dedup on exact scores afterwards
+            t2 = top_scores[:, :rp]
+            ids2 = cand_ids[:, :rp]
+            if params.stop_after == "prerank":
+                return t2, ids2
+            exact = rescore_exact(index, ids2, top_c, top_v, sc,
+                                  interpret=interpret)
+            t2 = jnp.where(jnp.isfinite(t2), exact, -jnp.inf)
+            t2, ids2 = _dedup_by_id(t2, ids2, n_docs)
+        else:
+            dscores, dids, _ = _dedup_with_payload(
+                top_scores, cand_ids, safe_post, n_docs
+            )
+            t2, pos2 = jax.lax.top_k(dscores, rp)
+            ids2 = jnp.take_along_axis(dids, pos2, axis=1)
+            if params.stop_after == "prerank":
+                return t2, ids2
+            exact = rescore_exact(index, ids2, top_c, top_v, sc,
+                                  interpret=interpret)
+            t2 = jnp.where(jnp.isfinite(t2), exact, -jnp.inf)
         out_scores, opos = jax.lax.top_k(t2, k)
         out_ids = jnp.take_along_axis(ids2, opos, axis=1)
 

@@ -42,28 +42,35 @@ class PlannerContext:
     list_post_start: np.ndarray  # int32 [n_lists] packed posting offset
     n_lists: int
     n_docs: int
-    zero_region: int  # subtile index of an all-zero tile region
+    zero_region: int  # SUPER-tile index of an all-zero tile region
+    # subtiles per work item (must match the DeviceIndex aligned layout)
+    csub: int = 1
 
     @staticmethod
-    def from_arrays(arrays, region_start=None):
+    def from_arrays(arrays, region_start=None, csub: int = 1):
         """Build from IndexArrays (+ the aligned-layout region starts that
         `prepare_pallas_tiles` computes)."""
         if region_start is None:
             from ..ops.pallas_tiles import tile_region_starts
 
-            region_start = tile_region_starts(arrays)
+            region_start = tile_region_starts(arrays, csub)
         list_len = arrays.list_len.astype(np.int64)
         n_tiles = np.maximum(1, -(-list_len // SUB))
+        if csub > 1:
+            n_tiles = csub * (-(-n_tiles // csub))
         n_sub_total = int(
             region_start[-1] + n_tiles[-1]
             if len(region_start)
             else 0
         )
         # pallas_align_doc_tiles pads ll_pad rows of zeros at the tail; the
-        # last subtile of the buffer is guaranteed zero.
+        # last super-tile of the buffer is guaranteed zero.
         from ..ops_pallas_prep import ll_pad_for
 
-        zero_region = n_sub_total + ll_pad_for(arrays.max_list_len) // SUB - 1
+        total_sub = (
+            n_sub_total + ll_pad_for(arrays.max_list_len, csub) // SUB
+        )
+        zero_region = total_sub // csub - 1
         return PlannerContext(
             list_region_start=np.asarray(region_start, np.int32),
             list_len=np.asarray(arrays.list_len, np.int32),
@@ -71,6 +78,7 @@ class PlannerContext:
             n_lists=arrays.n_lists,
             n_docs=arrays.n_docs,
             zero_region=int(zero_region),
+            csub=csub,
         )
 
 
@@ -188,27 +196,30 @@ def plan_grouped(
         group_nrows[:G] = ctx.list_len[group_list_real]
         slot_b[g_of_pair, m_of_pair] = sb
 
-    # --- work items: one per (group, subtile) ---
+    # --- work items: one per (group, super-tile of csub subtiles) ---
+    csub = ctx.csub
     if G:
         nsub_g = np.maximum(
             1, -(-group_nrows[:G].astype(np.int64) // SUB)
         )
-        W = int(nsub_g.sum())
+        nsup_g = -(-nsub_g // csub)
+        W = int(nsup_g.sum())
     else:
-        nsub_g = np.zeros(0, np.int64)
+        nsup_g = np.zeros(0, np.int64)
         W = 0
     W_cap = _round_up(W, w_round)
     work_g = np.full(W_cap, G, np.int32)  # padding -> dump group G
     work_s = np.zeros(W_cap, np.int32)
     work_region = np.full(W_cap, ctx.zero_region, np.int32)
     if W:
-        wg = np.repeat(np.arange(G, dtype=np.int64), nsub_g)
+        wg = np.repeat(np.arange(G, dtype=np.int64), nsup_g)
         wstart = np.zeros(G, np.int64)
-        np.cumsum(nsub_g[:-1], out=wstart[1:])
+        np.cumsum(nsup_g[:-1], out=wstart[1:])
         ws = np.arange(W) - wstart[wg]
         work_g[:W] = wg
         work_s[:W] = ws
-        work_region[:W] = group_region[wg] + ws
+        # group_region is csub-aligned in subtile units by construction
+        work_region[:W] = group_region[wg] // csub + ws
 
     # --- pair lookup tables (regroup kernel output to query order) ---
     dump_slot = G * M

@@ -314,12 +314,15 @@ class IndexArrays:
         return IndexArrays._from_meta(meta, kwargs)
 
     # ------------------------------------------------------------- device
-    def to_device(self, device=None, pallas_tiles: bool = False):
+    def to_device(self, device=None, pallas_tiles: bool = False,
+                  tile_csub: int = 1):
         """Upload all arrays to a device, returning a DeviceIndex pytree.
 
         With pallas_tiles=True (and doc tiles present) additionally builds
         the SUB-aligned tile layout consumed by the Pallas fused scorer
-        (SearchParams.use_pallas)."""
+        (SearchParams.use_pallas). tile_csub > 1 packs csub consecutive
+        subtiles per work item ([csub*128, V] DMAs — fewer, larger grid
+        steps for the grouped scorer; grouped-path only)."""
         import jax
         import jax.numpy as jnp
 
@@ -333,7 +336,9 @@ class IndexArrays:
         if pallas_tiles and self.doc_tiles is not None:
             from .ops_pallas_prep import prepare_pallas_tiles
 
-            tiles_i8, scale3d, region_start = prepare_pallas_tiles(self)
+            tiles_i8, scale3d, region_start = prepare_pallas_tiles(
+                self, tile_csub
+            )
             extra = dict(
                 doc_tiles_aligned=put(tiles_i8),
                 tile_scale3d=put(scale3d),
@@ -353,6 +358,7 @@ class IndexArrays:
             max_blocks_per_list=self.max_blocks_per_list,
             max_block_len=self.max_block_len,
             max_list_len=self.max_list_len,
+            tile_csub=tile_csub if pallas_tiles else 1,
         )
 
 
@@ -401,6 +407,8 @@ class DeviceIndex:
     max_blocks_per_list: int = 0
     max_block_len: int = 0
     max_list_len: int = 0
+    # subtiles per grouped-scorer work item (aligned-layout granularity)
+    tile_csub: int = 1
 
 
 def _register_device_index():
@@ -411,13 +419,13 @@ def _register_device_index():
         for f in dataclasses.fields(DeviceIndex)
         if f.name
         not in ("dim", "n_docs", "max_blocks_per_list", "max_block_len",
-                "max_list_len")
+                "max_list_len", "tile_csub")
     ]
 
     def flatten(d: DeviceIndex):
         children = tuple(getattr(d, f) for f in array_fields)
         aux = (d.dim, d.n_docs, d.max_blocks_per_list, d.max_block_len,
-               d.max_list_len)
+               d.max_list_len, d.tile_csub)
         return children, aux
 
     def unflatten(aux, children):
@@ -429,6 +437,7 @@ def _register_device_index():
             max_blocks_per_list=aux[2],
             max_block_len=aux[3],
             max_list_len=aux[4],
+            tile_csub=aux[5],
         )
 
     jax.tree_util.register_pytree_node(DeviceIndex, flatten, unflatten)

@@ -244,3 +244,48 @@ def test_grouped_i8_rescore(setup):
                 checked += 1
     assert checked > len(ids) * 5
     assert _recall(ids, gt_i) > 0.5
+
+
+def test_grouped_rescore_dedup_post(setup):
+    """dedup_mode=post must return unique ids with exact scores."""
+    ds, arrays, ctx, q_comps, q_vals, gt_i = setup
+    dev = arrays.to_device(pallas_tiles=True)
+    params = GroupedParams(k=10, score_cut=64, pool=128, rescore=48,
+                           compute_dtype="i8", dedup_mode="post")
+    scores, ids = search_grouped(dev, ctx, q_comps, q_vals, params,
+                                 query_cut=10)
+    s_gt, i_gt = exact_search_numpy(ds, q_comps, q_vals, k=50)
+    exact_of = [
+        {int(i): float(s) for s, i in zip(srow, irow)}
+        for srow, irow in zip(s_gt, i_gt)
+    ]
+    for b in range(len(ids)):
+        real = [int(d) for d in ids[b] if d >= 0]
+        assert len(real) == len(set(real))  # unique
+        for s, d in zip(scores[b], ids[b]):
+            if d >= 0 and int(d) in exact_of[b]:
+                assert abs(float(s) - exact_of[b][int(d)]) < 1e-3
+    assert _recall(ids, gt_i) > 0.5
+
+
+def test_grouped_csub2_matches_csub1(setup):
+    """csub=2 super-tile layout must reproduce csub=1 results exactly
+    (same scores, same ids) — only the DMA granularity changes."""
+    ds, arrays, ctx, q_comps, q_vals, gt_i = setup
+    from seismic_tpu.search.planner import PlannerContext
+
+    dev1 = arrays.to_device(pallas_tiles=True)
+    dev2 = arrays.to_device(pallas_tiles=True, tile_csub=2)
+    ctx2 = PlannerContext.from_arrays(arrays, csub=2)
+    params = GroupedParams(k=10, score_cut=64, pool=128,
+                           compute_dtype="f32", ovf_pool=0,
+                           pool_mode="exact")
+    s1, i1 = search_grouped(dev1, ctx, q_comps, q_vals, params,
+                            query_cut=10)
+    s2, i2 = search_grouped(dev2, ctx2, q_comps, q_vals, params,
+                            query_cut=10)
+    assert np.allclose(s1, s2, rtol=1e-5, atol=1e-5)
+    for b in range(len(i1)):
+        assert set(i1[b][s1[b] > -np.inf].tolist()) == set(
+            i2[b][s2[b] > -np.inf].tolist()
+        )
