@@ -5,18 +5,20 @@ MS MARCO/SPLADE-shaped collection (BASELINE.json north star).
 Prints ONE JSON line to stdout:
   {"metric": ..., "value": QPS, "unit": "qps", "vs_baseline": QPS / 5405,
    "p50_ms": {...}, "recall_at_10": ..., "streamed_kb_per_query": ...,
-   "pallas_gate": ...}
+   "knn_rung": ..., "pallas_gate": ...}
 
 vs_baseline is relative to the reference's single-thread CPU average query
 time of 185 us/query (~5405 QPS) on MS MARCO SPLADE-v3 (reference
 README.md:110-115); the driver's target is >= 50x.
 
-The measured path is the grouped (list-major) search: the host planner
-groups each batch's (query, list) pairs by posting list and the Pallas
-kernel streams each list's doc tiles once per group (search/grouped.py).
-The throughput loop re-plans every batch on the host — planning overlaps
-device execution through JAX's async dispatch, exactly as a pipelined
-serving process would run.
+The measured path is the grouped (list-major) search, round-2 final form:
+host planner groups (query, list) pairs by list; the int8 MXU Pallas
+kernel streams each list's doc tiles once per group in [csub*128, V]
+super-blocks; approx_max_k pools candidates; the exact-rescore kernel
+restores exact forward-index scores for the top pool (search/grouped.py,
+ops/pallas_grouped.py, ops/pallas_rescore.py). The throughput loop
+re-plans every batch on the host — planning overlaps device execution
+through JAX's async dispatch, exactly as a pipelined serving process runs.
 
 The index build is cached under .bench_cache/ (directory format, mmap) so
 repeated runs only measure the query path. All progress goes to stderr.
@@ -36,16 +38,18 @@ CACHE = os.path.join(ROOT, ".bench_cache")
 # ---- benchmark protocol constants ----
 N_DOCS = int(os.environ.get("BENCH_N_DOCS", 100_000))
 DIM = 30522
-N_QUERIES = 1024
+N_QUERIES = int(os.environ.get("BENCH_N_QUERIES", 2048))
 K = 10
-BATCH = int(os.environ.get("BENCH_BATCH", 1024))
+BATCH = int(os.environ.get("BENCH_BATCH", 2048))
 TARGET_RECALL = 0.97
 N_POSTINGS = int(os.environ.get("BENCH_N_POSTINGS", 200))
 BASELINE_QPS = 1e6 / 185.0  # reference single-thread CPU AQT
 V_CAP = int(os.environ.get("BENCH_V_CAP", 1024))
 TILE_OVERFLOW = int(os.environ.get("BENCH_TILE_OVERFLOW", 64))
+CSUB = int(os.environ.get("BENCH_CSUB", 2))
 
-# query_cut ladder for the grouped path (exhaustive scan of selected lists)
+# query_cut ladder for the grouped path (exhaustive scan of selected lists,
+# exact rescore of the top pool)
 QC_LADDER = [10, 11, 12, 14, 16, 20, 30]
 
 
@@ -91,13 +95,13 @@ def get_index(ds):
         t = time.time()
         arrays = IndexArrays.load_dir(dirpath)
         log(f"index mmap-loaded from cache: {time.time()-t:.2f}s")
-        return arrays
+        return arrays, base
     if os.path.exists(legacy):
         t = time.time()
         arrays = IndexArrays.load(legacy)
         log(f"index loaded from legacy npz: {time.time()-t:.1f}s")
         arrays.save_dir(dirpath)
-        return arrays
+        return arrays, base
     from seismic_tpu.build.builder import build_index
 
     cfg = Configuration(
@@ -115,11 +119,27 @@ def get_index(ds):
     arrays.save_dir(dirpath)
     with open(base + ".buildtime.json", "w") as f:
         json.dump({"build_secs": build_secs}, f)
-    return arrays
+    return arrays, base
+
+
+def get_queries(dim):
+    """N_QUERIES DISTINCT queries (two seeds; tiling duplicates would let
+    duplicate pairs share plan groups and overstate throughput)."""
+    from seismic_tpu.harness.synth import synth_queries
+    from seismic_tpu.search.engine import pad_queries
+
+    qc1, qv1 = synth_queries(1024, dim=dim, seed=11)
+    q_comps, q_vals = pad_queries(qc1, qv1, 64)
+    if N_QUERIES > 1024:
+        qc2, qv2 = synth_queries(N_QUERIES - 1024, dim=dim, seed=12)
+        e_comps, e_vals = pad_queries(qc2, qv2, 64)
+        q_comps = np.concatenate([q_comps, e_comps])
+        q_vals = np.concatenate([q_vals, e_vals])
+    return q_comps, q_vals
 
 
 def get_ground_truth(ds, q_comps, q_vals):
-    path = os.path.join(CACHE, f"gt_{N_DOCS}_{DIM}_{N_QUERIES}.npz")
+    path = os.path.join(CACHE, f"gt_{N_DOCS}_{DIM}_{len(q_comps)}.npz")
     if os.path.exists(path):
         with np.load(path) as z:
             return z["ids"]
@@ -143,7 +163,11 @@ def recall_at_k(ids, gt_ids):
 
 
 def _sync(out):
-    np.asarray(out[0]).ravel()[:1]
+    import jax
+    import jax.numpy as jnp
+
+    x = [l for l in jax.tree.leaves(out) if hasattr(l, "shape")][0]
+    np.asarray(jnp.sum(x, dtype=jnp.float32))
     return out
 
 
@@ -152,8 +176,6 @@ def pallas_gate():
     config) must reproduce the XLA dynamic-slice formulation's results on
     a small nontrivial index on the REAL device (VERDICT round-1 weak #6;
     CPU CI covers interpret mode only)."""
-    import jax
-
     from seismic_tpu.config import Configuration, TpuLayout
     from seismic_tpu.build.builder import build_index
     from seismic_tpu.harness.synth import synth_dataset, synth_queries
@@ -184,11 +206,12 @@ def pallas_gate():
                             heap_factor=0.0)
     del dev_xla
 
-    # grouped Pallas path, exact-operand config
-    dev_p = arrays.to_device(pallas_tiles=True)
-    ctx = PlannerContext.from_arrays(arrays)
+    # grouped Pallas path, exact-operand config (csub=2 exercises the
+    # super-block layout on the real device)
+    dev_p = arrays.to_device(pallas_tiles=True, tile_csub=CSUB)
+    ctx = PlannerContext.from_arrays(arrays, csub=CSUB)
     gp = GroupedParams(k=K, score_cut=64, pool=128, compute_dtype="f32",
-                       ovf_pool=0)
+                       ovf_pool=0, pool_mode="exact")
     s_g, i_g = search_grouped(dev_p, ctx, q_comps, q_vals, gp,
                               query_cut=10, M=8)
 
@@ -213,34 +236,31 @@ def main():
     import jax.numpy as jnp
 
     log(f"devices: {jax.devices()}")
-    from seismic_tpu.search.engine import pad_queries
     from seismic_tpu.search.grouped import (
         DevicePlan,
         GroupedParams,
         search_grouped_jit,
     )
     from seismic_tpu.search.planner import PlannerContext, plan_grouped
-    from seismic_tpu.harness.synth import synth_queries
 
     gate = pallas_gate()
 
     ds = get_dataset()
-    arrays = get_index(ds)
-    qc_list, qv_list = synth_queries(N_QUERIES, dim=DIM, seed=11)
-    q_comps, q_vals = pad_queries(qc_list, qv_list, 64)
+    arrays, index_base = get_index(ds)
+    q_comps, q_vals = get_queries(DIM)
     gt_ids = get_ground_truth(ds, q_comps, q_vals)
 
     t0 = time.time()
-    index = arrays.to_device(pallas_tiles=True)
-    ctx = PlannerContext.from_arrays(arrays)
+    index = arrays.to_device(pallas_tiles=True, tile_csub=CSUB)
+    ctx = PlannerContext.from_arrays(arrays, csub=CSUB)
     log(f"to_device+ctx: {time.time()-t0:.1f}s")
     space = arrays.space_usage_report()
 
-    gp = GroupedParams(k=K, score_cut=64, pool=128)
-    n_batches = N_QUERIES // BATCH
+    gp = GroupedParams(k=K, score_cut=64, pool=64, rescore=48,
+                       compute_dtype="i8", pool_mode="approx")
+    n_batches = max(1, N_QUERIES // BATCH)
 
-    def run_rung(query_cut, B, n_b):
-        """Plan + search n_b batches of size B; returns (ids, plan_stats)."""
+    def run_rung(query_cut, B, n_b, params=gp):
         outs = []
         stats = None
         for b in range(n_b):
@@ -251,19 +271,18 @@ def main():
             out = search_grouped_jit(
                 index, dplan,
                 jnp.asarray(qc_np, jnp.int32),
-                jnp.asarray(qv_np, jnp.float32), gp,
+                jnp.asarray(qv_np, jnp.float32), params,
             )
             outs.append(np.asarray(out[1]))
             stats = plan
         return np.concatenate(outs), stats
 
     # ---- accuracy ladder ----
-    chosen = None
     rungs = []
     for query_cut in QC_LADDER:
         ids, plan = run_rung(query_cut, BATCH, n_batches)
         rec = recall_at_k(ids, gt_ids)
-        streamed_kb = plan.W * 128 * V_CAP / BATCH / 1e3
+        streamed_kb = plan.W * CSUB * 128 * V_CAP / BATCH / 1e3
         log(f"qc={query_cut}: recall@10={rec:.4f} "
             f"streamed/query={streamed_kb:.0f}KB W={plan.W}")
         rungs.append((query_cut, rec, streamed_kb))
@@ -274,7 +293,7 @@ def main():
     query_cut, rec, streamed_kb = next(r for r in rungs if r[1] >= need)
 
     # ---- throughput (e2e: host plan + upload + search, async-pipelined) --
-    def once(B, qc_np, qv_np, qc_dev, qv_dev):
+    def once(qc_np, qv_np, qc_dev, qv_dev):
         plan = plan_grouped(qc_np, qv_np, ctx, query_cut, M=8)
         dplan = DevicePlan.put(plan)
         return search_grouped_jit(index, dplan, qc_dev, qv_dev, gp)
@@ -286,16 +305,16 @@ def main():
     qcn = [q_comps[b * BATCH:(b + 1) * BATCH] for b in range(n_batches)]
     qvn = [q_vals[b * BATCH:(b + 1) * BATCH] for b in range(n_batches)]
 
-    _sync(once(BATCH, qcn[0], qvn[0], qcd[0], qvd[0]))  # warm
+    _sync(once(qcn[0], qvn[0], qcd[0], qvd[0]))  # warm
     reps = 10
     t0 = time.time()
     out = None
     for _ in range(reps):
         for b in range(n_batches):
-            out = once(BATCH, qcn[b], qvn[b], qcd[b], qvd[b])
+            out = once(qcn[b], qvn[b], qcd[b], qvd[b])
     _sync(out)
     elapsed = time.time() - t0
-    qps = (reps * N_QUERIES) / elapsed
+    qps = (reps * n_batches * BATCH) / elapsed
 
     # ---- p50 latency rungs (per-batch sync; batch = 1, 64, BATCH) ----
     p50 = {}
@@ -304,14 +323,57 @@ def main():
         qv_np = q_vals[:B]
         qc_dev = jnp.asarray(qc_np, jnp.int32)
         qv_dev = jnp.asarray(qv_np, jnp.float32)
-        _sync(once(B, qc_np, qv_np, qc_dev, qv_dev))  # compile this class
+
+        def once_b(qc_np=qc_np, qv_np=qv_np, qc_dev=qc_dev, qv_dev=qv_dev):
+            plan = plan_grouped(qc_np, qv_np, ctx, query_cut, M=8)
+            dplan = DevicePlan.put(plan)
+            return search_grouped_jit(index, dplan, qc_dev, qv_dev, gp)
+
+        _sync(once_b())  # compile this batch class
         times = []
         for _ in range(7 if B <= 64 else 3):
             t0 = time.time()
-            _sync(once(B, qc_np, qv_np, qc_dev, qv_dev))
+            _sync(once_b())
             times.append(time.time() - t0)
         p50[f"b{B}"] = round(float(np.median(times) * 1e3), 2)
     log(f"p50 latency ms: {p50}")
+
+    # ---- optional kNN-refinement rung (graph cached by bench_knn) ----
+    knn_rung = None
+    knn_path = index_base + ".knn16"
+    from seismic_tpu.types import KNN_SUFFIX
+    from seismic_tpu.search import knn as knn_mod
+
+    if os.path.exists(knn_path + KNN_SUFFIX):
+        import dataclasses
+
+        arrays.knn = knn_mod.load_knn(knn_path)
+        index_knn = dataclasses.replace(
+            index, knn=jax.device_put(jnp.asarray(arrays.knn))
+        )
+        gp_knn = GroupedParams(k=K, score_cut=64, pool=64, rescore=48,
+                               compute_dtype="i8", pool_mode="approx",
+                               n_knn=8)
+        qc_rung = 14
+        plan = plan_grouped(q_comps[:1024], q_vals[:1024], ctx, qc_rung, M=8)
+        dplan = DevicePlan.put(plan)
+        out = _sync(search_grouped_jit(
+            index_knn, dplan, jnp.asarray(q_comps[:1024], jnp.int32),
+            jnp.asarray(q_vals[:1024], jnp.float32), gp_knn))
+        r_knn = recall_at_k(np.asarray(out[1]), gt_ids[:1024])
+        t0 = time.time()
+        for _ in range(5):
+            out = search_grouped_jit(
+                index_knn, dplan, jnp.asarray(q_comps[:1024], jnp.int32),
+                jnp.asarray(q_vals[:1024], jnp.float32), gp_knn)
+        _sync(out)
+        dt = (time.time() - t0) / 5
+        knn_rung = {
+            "query_cut": qc_rung, "n_knn": 8,
+            "recall_at_10": round(r_knn, 4),
+            "qps": round(1024 / dt, 1),
+        }
+        log(f"knn rung: {knn_rung}")
 
     log(
         f"QPS={qps:.0f} recall@10={rec:.4f} qc={query_cut} "
@@ -321,8 +383,8 @@ def main():
         "metric": (
             f"batched QPS/chip at recall@10>={rec:.3f} "
             f"(synthetic SPLADE, {N_DOCS} docs, dim {DIM}, k={K}, "
-            f"qc={query_cut}, grouped list-major path, e2e incl. host "
-            f"planning)"
+            f"qc={query_cut}, grouped i8 MXU path + exact rescore, e2e "
+            f"incl. host planning, batch {BATCH})"
         ),
         "value": round(qps, 1),
         "unit": "qps",
@@ -331,6 +393,7 @@ def main():
         "p50_ms": p50,
         "streamed_kb_per_query": round(streamed_kb),
         "index_bytes": space,
+        "knn_rung": knn_rung,
         "pallas_gate": gate,
     }
     print(json.dumps(result), flush=True)

@@ -92,8 +92,12 @@ def main():
         print(f"knn build ({args.nknn} neighbors): {time.time()-t0:.0f}s",
               file=sys.stderr, flush=True)
         knn_mod.save_knn(arrays.knn, knn_path)
-    # re-upload with the graph attached
-    index = arrays.to_device(pallas_tiles=True)
+    # attach the graph to the already-uploaded index (no 5 GB re-upload)
+    import dataclasses
+
+    index = dataclasses.replace(
+        index, knn=jax.device_put(jnp.asarray(arrays.knn))
+    )
 
     qc_l, qv_l = synth_queries(1024, dim=arrays.dim, seed=11)
     q_comps_np, q_vals_np = pad_queries(qc_l, qv_l, 64)
