@@ -196,14 +196,21 @@ def pallas_gate():
     qc, qv = synth_queries(64, dim=8192, seed=5)
     q_comps, q_vals = pad_queries(qc, qv, 64)
 
-    # XLA formulation (doc_tiles dynamic-slice path, no Pallas)
+    # XLA formulation (doc_tiles dynamic-slice path, no Pallas).
+    # HIGHEST matmul precision: XLA's default f32 dot on TPU is a single
+    # bf16 MXU pass (~1e-3 relative), while the Pallas f32 kernel uses the
+    # exact multi-pass decomposition — at default precision the comparison
+    # noise floor would swamp real kernel bugs.
+    import jax
+
     dev_xla = arrays.to_device(pallas_tiles=False)
     params = SearchParams(
         k=K, query_cut=10, doc_mode="tiles", full_lists=True,
         score_cut=64, dedup_pool=128, use_pallas=False,
     )
-    s_x, i_x = search_batch(dev_xla, q_comps, q_vals, params,
-                            heap_factor=0.0)
+    with jax.default_matmul_precision("highest"):
+        s_x, i_x = search_batch(dev_xla, q_comps, q_vals, params,
+                                heap_factor=0.0)
     del dev_xla
 
     # grouped Pallas path, exact-operand config (csub=2 exercises the
@@ -212,8 +219,9 @@ def pallas_gate():
     ctx = PlannerContext.from_arrays(arrays, csub=CSUB)
     gp = GroupedParams(k=K, score_cut=64, pool=128, compute_dtype="f32",
                        ovf_pool=0, pool_mode="exact")
-    s_g, i_g = search_grouped(dev_p, ctx, q_comps, q_vals, gp,
-                              query_cut=10, M=8)
+    with jax.default_matmul_precision("highest"):
+        s_g, i_g = search_grouped(dev_p, ctx, q_comps, q_vals, gp,
+                                  query_cut=10, M=8)
 
     ids_match = float(np.mean([
         set(map(int, a[a >= 0])) == set(map(int, b[b >= 0]))

@@ -269,9 +269,14 @@ class _IndexBase:
 
             import jax.numpy as jnp
 
+            # tuned round-2 operating point: int8 MXU matmul + exact
+            # rescore of the top pool (returned scores are exact dot
+            # products, like the reference's) + approximate pool select
             gp = GroupedParams(
                 k=k, score_cut=score_cut,
-                pool=params.dedup_pool or 128, n_knn=n_knn,
+                pool=params.dedup_pool or 64, n_knn=n_knn,
+                compute_dtype="i8", rescore=max(48, 2 * k),
+                pool_mode="approx",
             )
             plan = plan_grouped(
                 q_comps, q_vals, self._grouped_ctx(), params.query_cut

@@ -203,3 +203,141 @@ def native_build_lists(
         return out
     finally:
         lib.seismic_free(handle)
+
+
+# ---------------------------------------------------------------------------
+# Native host planner (planner.cpp) — separate small .so
+# ---------------------------------------------------------------------------
+
+_PLANNER_SRC = os.path.join(_DIR, "planner.cpp")
+_PLANNER_LIB = os.path.join(_DIR, "libseismic_planner.so")
+_planner_lib = None
+_planner_failed = False
+
+
+def get_planner_lib():
+    global _planner_lib, _planner_failed
+    if _planner_lib is not None:
+        return _planner_lib
+    if _planner_failed:
+        return None
+    with _lock:
+        if _planner_lib is not None:
+            return _planner_lib
+        lib_path = None
+        if os.path.exists(_PLANNER_LIB) and os.path.getmtime(
+            _PLANNER_LIB
+        ) >= os.path.getmtime(_PLANNER_SRC):
+            lib_path = _PLANNER_LIB
+        else:
+            for flags in (["-O3", "-march=native"], ["-O3"]):
+                try:
+                    subprocess.check_call(
+                        ["g++", *flags, "-std=c++17", "-shared", "-fPIC",
+                         "-o", _PLANNER_LIB, _PLANNER_SRC],
+                        stderr=subprocess.DEVNULL,
+                    )
+                    lib_path = _PLANNER_LIB
+                    break
+                except Exception:
+                    continue
+        if lib_path is None:
+            _planner_failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(lib_path)
+            lib.seismic_plan_grouped.restype = ctypes.c_int
+            _planner_lib = lib
+        except Exception:
+            _planner_failed = True
+            return None
+        return _planner_lib
+
+
+def plan_grouped_native(q_comps, q_vals, ctx, query_cut: int, M: int = 8):
+    """Native counting-sort planner; returns a GroupedPlan or None when
+    the toolchain is unavailable. Group composition may differ from the
+    NumPy planner (top-QC tie order), but all plan invariants hold and
+    search results are identical."""
+    lib = get_planner_lib()
+    if lib is None:
+        return None
+    from ..search.planner import GroupedPlan, _round_up
+
+    q_comps = np.ascontiguousarray(q_comps, np.int32)
+    q_vals = np.ascontiguousarray(q_vals, np.float32)
+    B, Q = q_comps.shape
+    QC = min(query_cut, Q)
+    csub = ctx.csub
+    P_cap = B * QC
+    G_max = P_cap + 1
+    # worst case: every pair a singleton group of a max-length list
+    max_nsup = max(
+        1,
+        -(-int(np.max(ctx.list_len, initial=1)) // (128 * csub)),
+    )
+    W_max = int(P_cap) * max_nsup + 1
+
+    group_list = np.zeros(G_max, np.int32)
+    group_region = np.zeros(G_max, np.int32)
+    group_nrows = np.zeros(G_max, np.int32)
+    slot_b = np.full(G_max * M, B, np.int32)  # pad slots read B
+    work_region = np.empty(W_max, np.int32)
+    work_g = np.empty(W_max, np.int32)
+    work_s = np.empty(W_max, np.int32)
+    pair_slot = np.zeros(P_cap, np.int32)
+    pair_pstart = np.zeros(P_cap, np.int32)
+    pair_valid = np.zeros(P_cap, np.int32)
+    pair_list = np.zeros(P_cap, np.int32)
+    pair_len = np.zeros(P_cap, np.int32)
+    slot_pair = np.zeros(G_max * M, np.int32)
+    n_out = np.zeros(2, np.int32)
+
+    rc = lib.seismic_plan_grouped(
+        _ptr(q_comps), _ptr(q_vals),
+        ctypes.c_int(B), ctypes.c_int(Q), ctypes.c_int(QC),
+        ctypes.c_int(M), ctypes.c_int(csub),
+        _ptr(np.ascontiguousarray(ctx.list_region_start, np.int32)),
+        _ptr(np.ascontiguousarray(ctx.list_len, np.int32)),
+        _ptr(np.ascontiguousarray(ctx.list_post_start, np.int32)),
+        ctypes.c_int(ctx.n_lists),
+        ctypes.c_int(G_max), ctypes.c_longlong(W_max),
+        _ptr(group_list), _ptr(group_region), _ptr(group_nrows),
+        _ptr(slot_b), _ptr(work_region), _ptr(work_g), _ptr(work_s),
+        _ptr(pair_slot), _ptr(pair_pstart), _ptr(pair_valid),
+        _ptr(pair_list), _ptr(pair_len), _ptr(slot_pair),
+        _ptr(n_out),
+    )
+    if rc != 0:
+        return None
+    G, W = int(n_out[0]), int(n_out[1])
+    G_cap = _round_up(G + 1, 512)
+    W_cap = _round_up(W, 2048)
+
+    def cap1(a, n, cap, fill):
+        out = np.full(cap, fill, a.dtype)
+        out[:n] = a[:n]
+        return out
+
+    gl = cap1(group_list, G, G_cap, 0)
+    gr = cap1(group_region, G, G_cap, 0)
+    gn = cap1(group_nrows, G, G_cap, 0)
+    sb2 = np.full((G_cap, M), B, np.int32)
+    sb2[:G] = slot_b[: G * M].reshape(G, M)
+    wr = cap1(work_region, W, W_cap, ctx.zero_region)
+    wg = cap1(work_g, W, W_cap, G)
+    ws = cap1(work_s, W, W_cap, 0)
+    sp = np.zeros(G_cap * M, np.int32)
+    sp[: G * M] = slot_pair[: G * M]
+    return GroupedPlan(
+        M=M, G=G, W=W,
+        group_list=gl, group_region=gr, group_nrows=gn,
+        slot_b=sb2,
+        work_region=wr, work_g=wg, work_s=ws,
+        pair_slot=pair_slot.reshape(B, QC),
+        pair_pstart=pair_pstart.reshape(B, QC),
+        pair_valid=pair_valid.reshape(B, QC).astype(bool),
+        pair_list=pair_list.reshape(B, QC),
+        pair_len=pair_len.reshape(B, QC),
+        slot_pair=sp,
+    )

@@ -99,10 +99,7 @@ def score_grouped_pallas(
             q, t, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [M, ROWS]
-        qs = qsum_ref[0]
-        if csub > 1:
-            qs = jnp.concatenate([qs] * csub, axis=1)
-        out_ref[0] = (s + qs) * scale_ref[0, 0, :][None, :]
+        out_ref[0] = (s + qsum_ref[0]) * scale_ref[0, 0, :][None, :]
 
     in_specs = [
         pl.BlockSpec(
@@ -124,9 +121,13 @@ def score_grouped_pallas(
     operands = [doc_tiles_i8, tile_scale3d, qloc]
     kernel = kernel_fixup
     if qsum is not None:
+        # qsum must be lane-replicated at the full ROWS width (an in-kernel
+        # concatenate along lanes silently corrupted the second 128-lane
+        # half on the real device — caught by the bench pallas gate)
+        assert qsum.shape[-1] == ROWS, (qsum.shape, ROWS)
         in_specs.append(
             pl.BlockSpec(
-                (1, M, 128),
+                (1, M, ROWS),
                 lambda w, region, g, s: (g[w], 0, 0),
                 memory_space=pltpu.VMEM,
             )

@@ -342,9 +342,11 @@ def _grouped_impl(
     else:
         qloc = qloc_pairs[plan.slot_pair].reshape(G_cap, M, V)
         # lane-replicated 128 * sum_v qloc for the centered-tile correction
+        # (full csub*128 lane width; see pallas_grouped qsum note)
         qsum_pairs = 128.0 * jnp.sum(qloc_pairs, axis=-1)  # [P]
         qsum = jnp.broadcast_to(
-            qsum_pairs[plan.slot_pair].reshape(G_cap, M, 1), (G_cap, M, 128)
+            qsum_pairs[plan.slot_pair].reshape(G_cap, M, 1),
+            (G_cap, M, csub * 128),
         )
         pair_scale = None
 

@@ -123,6 +123,29 @@ class GroupedPlan:
 
 
 def plan_grouped(
+    q_comps: np.ndarray,
+    q_vals: np.ndarray,
+    ctx: PlannerContext,
+    query_cut: int,
+    M: int = 8,
+    native: bool = True,
+) -> GroupedPlan:
+    """Select each query's top-`query_cut` lists and group the resulting
+    (query, list) pairs by list into M-slot groups.
+
+    Dispatches to the C++ counting-sort planner (native/planner.cpp,
+    ~2x faster and jitter-free on the 1-core host) with the NumPy
+    implementation as fallback and semantic reference."""
+    if native:
+        from ..native import plan_grouped_native
+
+        plan = plan_grouped_native(q_comps, q_vals, ctx, query_cut, M=M)
+        if plan is not None:
+            return plan
+    return plan_grouped_numpy(q_comps, q_vals, ctx, query_cut, M=M)
+
+
+def plan_grouped_numpy(
     q_comps: np.ndarray,  # int32 [B, Q] PAD_COMPONENT padded
     q_vals: np.ndarray,  # f32 [B, Q]
     ctx: PlannerContext,
@@ -131,12 +154,9 @@ def plan_grouped(
     g_round: int = 512,
     w_round: int = 2048,
 ) -> GroupedPlan:
-    """Select each query's top-`query_cut` lists and group the resulting
-    (query, list) pairs by list into M-slot groups.
-
-    Replaces the reference's per-query term selection
-    (inverted_index.rs:187-190) + per-term list scan with a batch-global,
-    list-major schedule.
+    """NumPy reference planner: the reference's per-query term selection
+    (inverted_index.rs:187-190) + per-term list scan redesigned as a
+    batch-global, list-major schedule.
     """
     q_comps = np.asarray(q_comps)
     q_vals = np.asarray(q_vals)

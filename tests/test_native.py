@@ -102,3 +102,59 @@ def test_fixed_strategies_native(pair):
     assert np.array_equal(
         py.summary_comps != 2**31 - 1, nat.summary_comps != 2**31 - 1
     )
+
+
+def test_native_planner_matches_numpy_results():
+    """The C++ planner must produce search results identical to the NumPy
+    planner's (grouping composition may differ; scores/ids must not)."""
+    import numpy as np
+    import pytest
+
+    from seismic_tpu import Configuration, TpuLayout
+    from seismic_tpu.build.builder import build_index
+    from seismic_tpu.native import get_planner_lib, plan_grouped_native
+    from seismic_tpu.search.engine import pad_queries
+    from seismic_tpu.search.grouped import (
+        DevicePlan,
+        GroupedParams,
+        search_grouped_jit,
+    )
+    from seismic_tpu.search.planner import (
+        PlannerContext,
+        plan_grouped_numpy,
+    )
+    from tests.conftest import make_random_dataset, make_random_queries
+
+    if get_planner_lib() is None:
+        pytest.skip("native toolchain unavailable")
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    ds = make_random_dataset(rng, n_docs=300, dim=500, min_nnz=10,
+                             max_nnz=40, seed=9)
+    cfg = Configuration(layout=TpuLayout(max_block_len=16,
+                                         summary_vocab_cap=256,
+                                         tile_overflow=16))
+    arrays = build_index(ds, cfg)
+    qc, qv = make_random_queries(np.random.default_rng(2), n_queries=8,
+                                 dim=500, min_nnz=8, max_nnz=24)
+    q_comps, q_vals = pad_queries(qc, qv, 64)
+    dev = arrays.to_device(pallas_tiles=True)
+    ctx = PlannerContext.from_arrays(arrays)
+
+    pn = plan_grouped_native(q_comps, q_vals, ctx, 10, M=8)
+    pp = plan_grouped_numpy(q_comps, q_vals, ctx, 10, M=8)
+    assert pn is not None
+    assert pn.G == pp.G and pn.W == pp.W
+
+    gp = GroupedParams(k=10, score_cut=64, pool=128, compute_dtype="f32",
+                       ovf_pool=0, pool_mode="exact")
+    qd = jnp.asarray(q_comps, jnp.int32)
+    vd = jnp.asarray(q_vals, jnp.float32)
+    s_n, i_n = search_grouped_jit(dev, DevicePlan.put(pn), qd, vd, gp)
+    s_p, i_p = search_grouped_jit(dev, DevicePlan.put(pp), qd, vd, gp)
+    s_n, i_n, s_p, i_p = map(np.asarray, (s_n, i_n, s_p, i_p))
+    assert np.allclose(s_n, s_p, rtol=1e-5, atol=1e-6)
+    for b in range(len(i_n)):
+        assert set(i_n[b].tolist()) == set(i_p[b].tolist())
