@@ -29,6 +29,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--query-cut", type=int, default=10)
     p.add_argument("--heap-factor", type=float, default=0.7)
     p.add_argument("--n-knn", type=int, default=0)
+    p.add_argument("--knn-path", default=None,
+                   help="k-NN graph file (.knn.seismic_tpu) for --n-knn")
     p.add_argument("--first-sorted", action="store_true")
     p.add_argument("--n-queries", type=int, default=10000)
     p.add_argument("--n-runs", type=int, default=1)
@@ -53,9 +55,27 @@ def main(argv=None) -> int:
     from ..search.engine import SearchParams, pad_queries, search_batch_jit
     from ..types import IndexArrays
 
+    import jax
+
     t0 = time.time()
     arrays = IndexArrays.load(args.index_file)
-    index = arrays.to_device()
+    if args.knn_path:
+        from ..search import knn as knn_mod
+
+        arrays.knn = knn_mod.load_knn(args.knn_path)
+    # the grouped (list-major) Pallas path serves exhaustive-scan requests
+    # (heap-factor <= 0 or --full-lists) on TPU — same dispatch rule as
+    # the Python API
+    grouped_ok = (
+        jax.default_backend() == "tpu"
+        and arrays.doc_tiles is not None
+        and (args.heap_factor <= 0.0 or args.full_lists)
+        and (args.doc_mode in (None, "tiles"))
+    )
+    if grouped_ok:
+        index = arrays.to_device(pallas_tiles=True, tile_csub=2)
+    else:
+        index = arrays.to_device()
     print(f"Index loaded in {time.time()-t0:.1f} secs")
 
     qs = read_seismic_format(args.query_file)
@@ -103,20 +123,50 @@ def main(argv=None) -> int:
     sd = layout.sketch_dim if layout else 128
     ss = layout.sketch_seed if layout else 42
 
-    # warmup / compile
-    out = search_batch_jit(index, qc_dev[0], qv_dev[0], hf, params, sd, ss)
-    import jax
+    if grouped_ok:
+        from ..search.grouped import (
+            DevicePlan,
+            GroupedParams,
+            search_grouped_jit,
+        )
+        from ..search.planner import PlannerContext, plan_grouped
 
-    jax.block_until_ready(out)
+        ctx = PlannerContext.from_arrays(arrays, csub=2)
+        gp = GroupedParams(
+            k=args.k, score_cut=64, pool=64, rescore=max(48, 2 * args.k),
+            compute_dtype="i8", pool_mode="approx", n_knn=args.n_knn,
+        )
+
+        def run_batch(b):
+            plan = plan_grouped(
+                q_comps[b * B:(b + 1) * B], q_vals[b * B:(b + 1) * B],
+                ctx, args.query_cut,
+            )
+            dplan = DevicePlan.put(plan)
+            return search_grouped_jit(index, dplan, qc_dev[b], qv_dev[b],
+                                      gp)
+    else:
+        def run_batch(b):
+            return search_batch_jit(
+                index, qc_dev[b], qv_dev[b], hf, params, sd, ss
+            )
+
+    def _sync(out):
+        # force completion with a device-side reduce + 4-byte fetch:
+        # block_until_ready is asynchronous on the axon TPU platform and
+        # np.asarray of a full result would pull it through the tunnel
+        np.asarray(jnp.sum(out[0], dtype=jnp.float32))
+        return out
+
+    # warmup / compile
+    _sync(run_batch(0))
 
     results = [None] * n_batches
     t0 = time.time()
     for _ in range(args.n_runs):
         for b in range(n_batches):
-            results[b] = search_batch_jit(
-                index, qc_dev[b], qv_dev[b], hf, params, sd, ss
-            )
-        jax.block_until_ready(results[-1])
+            results[b] = run_batch(b)
+        _sync(results[-1])
     elapsed = time.time() - t0
     us_per_query = elapsed / (args.n_runs * n_queries) * 1e6
     print(f"Time {us_per_query:.2f} microsecs per query")

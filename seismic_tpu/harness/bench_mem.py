@@ -121,11 +121,11 @@ def main():
     vd = jnp.asarray(q_vals[:B], jnp.float32)
 
     rows = []
-    for qc, bb, cb in [(10, 96, 512), (12, 128, 512), (14, 128, 768),
-                       (16, 160, 768)]:
+    for qc, bb, cb in [(10, 48, 0), (10, 96, 0), (12, 96, 0),
+                       (14, 128, 0), (16, 160, 0)]:
         params = SearchParams(
             k=10, query_cut=qc, block_budget=bb, cand_budget=cb,
-            block_mode="dense", doc_mode="gather",
+            block_mode="dense", doc_mode="rescore", dedup_pool=128,
         )
         out = _sync(search_batch_jit(index, qd, vd, jnp.float32(0.0),
                                      params, 128, 42))
@@ -147,8 +147,11 @@ def main():
         "ratio_vs_forward": round(ratio, 3),
         "note": (
             "no-doc-tiles u8-forward index (DotVByte-equivalent); block "
-            "ranking on dense u8 summaries, sketch coarse rank, exact "
-            "forward-row scoring"
+            "ranking on dense u8 summaries, every surviving block's "
+            "candidates exact-scored by the Pallas rescore kernel "
+            "(doc_mode=rescore); ratio_vs_forward is vs the u8 forward "
+            "index — vs the f32 forward index (204.8 MB) the total is "
+            "1.92x"
         ),
         "rungs": rows,
     }

@@ -59,7 +59,13 @@ class SearchParams:
     #              (exact; random access, slow on gather-weak devices);
     #   "tiles"  — stream the replicated block-aligned dense doc tiles and
     #              score on the MXU (contiguous; exact w.r.t. the list-vocab
-    #              restriction + u8 quantization). Requires doc_tiles.
+    #              restriction + u8 quantization). Requires doc_tiles;
+    #   "rescore" — the memory-parity path: every candidate of the
+    #              surviving blocks is exact-scored by the Pallas rescore
+    #              kernel (wide-row forward gathers + in-VMEM compare);
+    #              needs NO doc tiles and NO sketches — the reference's
+    #              evaluate_posting_block economics (posting_list.rs:188-215)
+    #              at ~2x-forward-index memory.
     doc_mode: str = "gather"
     # In tiles mode: score every posting of the selected lists (ignores the
     # block structure entirely; highest recall for a given query_cut).
@@ -553,6 +559,47 @@ def _search_impl(
     cand_ids = jnp.where(cmask, cand_ids, n_docs).reshape(B, NC)
     cmask = cmask.reshape(B, NC)
     safe_cand = jnp.minimum(cand_ids, n_docs - 1)
+
+    if params.doc_mode == "rescore":
+        from ..ops.pallas_rescore import rescore_exact
+
+        sc = min(params.score_cut, Q)
+        if sc < Q:
+            top_v2, top_p2 = jax.lax.top_k(q_vals, sc)
+            top_c2 = jnp.take_along_axis(q_comps, top_p2, axis=1)
+        else:
+            top_v2, top_c2 = q_vals, q_comps
+        # chunk over candidate COLUMNS: each kernel step holds a
+        # [chunk, W] block pair in VMEM (chunk=512, W=256 -> ~2 MB
+        # double-buffered) and each call's gather stays ~1 GB transient
+        interp = jax.default_backend() not in ("tpu",)
+        chunk = 512
+        parts = []
+        for c0 in range(0, NC, chunk):
+            c1 = min(c0 + chunk, NC)
+            parts.append(rescore_exact(
+                index, safe_cand[:, c0:c1], top_c2, top_v2, sc,
+                interpret=interp,
+            ))
+        scores = parts[0] if len(parts) == 1 else jnp.concatenate(
+            parts, axis=1
+        )
+        scores = jnp.where(cmask, scores, -jnp.inf)
+        # pool then dedup (the visited set) on the small pool only — a
+        # full NC-wide sort would dominate the tail
+        pool = min(max(params.dedup_pool, 4 * k), NC)
+        pool_scores, ppos = jax.lax.top_k(scores, pool)
+        pool_ids = jnp.take_along_axis(cand_ids, ppos, axis=1)
+        dscores, dids = _dedup_by_id(pool_scores, pool_ids, n_docs)
+        top_scores, pos = jax.lax.top_k(dscores, k)
+        top_ids = jnp.take_along_axis(dids, pos, axis=1)
+        if params.n_knn > 0 and index.knn is not None:
+            qd2 = densify_query_batch(q_comps, q_vals, dim)
+            top_scores, top_ids = _knn_refine(
+                index, params, qd2, top_scores, top_ids
+            )
+        top_ids = jnp.where(jnp.isfinite(top_scores), top_ids, -1)
+        return top_scores, top_ids
 
     # ---- 6. coarse candidate ranking (sketch) ----
     NE = params.cand_budget if params.cand_budget > 0 else NC

@@ -209,3 +209,29 @@ def test_knn_refinement_improves_recall():
         assert np.array_equal(trunc, graph[:, :3])
         with pytest.raises(ValueError):
             load_knn(p, nknn=99)
+
+
+def test_rescore_doc_mode_matches_gather(small_index):
+    """doc_mode='rescore' (memory-parity path: exact-rescore every
+    surviving block's candidates, no tiles/sketches) must agree with
+    doc_mode='gather' at the same block budget — both score the same
+    candidate set exactly."""
+    import numpy as np
+
+    from seismic_tpu.search.engine import SearchParams, search_batch
+
+    ds, arrays, q_comps, q_vals, gt_s, gt_i = small_index
+    dev = arrays.to_device()
+    base = dict(k=10, query_cut=10, block_budget=32, block_mode="dense",
+                cand_budget=0)
+    pg = SearchParams(**base, doc_mode="gather")
+    pr = SearchParams(**base, doc_mode="rescore", dedup_pool=128)
+    s_g, i_g = search_batch(dev, q_comps, q_vals, pg, heap_factor=0.0)
+    s_r, i_r = search_batch(dev, q_comps, q_vals, pr, heap_factor=0.0)
+    for b in range(len(i_g)):
+        got = {int(d): float(s) for s, d in zip(s_r[b], i_r[b]) if d >= 0}
+        want = {int(d): float(s) for s, d in zip(s_g[b], i_g[b]) if d >= 0}
+        shared = set(got) & set(want)
+        assert len(shared) >= 8
+        for d in shared:
+            assert abs(got[d] - want[d]) < 1e-3 * max(1.0, abs(want[d]))
