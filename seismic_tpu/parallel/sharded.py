@@ -174,6 +174,8 @@ class ShardedIndex:
         default=None, repr=False
     )
     host_offsets: Optional[List[int]] = None
+    # per-shard grouped-path planner contexts (pallas_tiles uploads only)
+    planner_ctxs: Optional[list] = field(default=None, repr=False)
 
     @staticmethod
     def build(
@@ -183,6 +185,8 @@ class ShardedIndex:
         value_dtype: str = "f32",
         progress: bool = False,
         n_workers: int = 0,
+        pallas_tiles: bool = False,
+        tile_csub: int = 1,
     ) -> "ShardedIndex":
         """Split the collection into contiguous shards, build one index per
         shard (embarrassingly parallel, like the reference's per-list rayon
@@ -214,7 +218,9 @@ class ShardedIndex:
                 shards = list(ex.map(build_one, range(n_shards)))
         else:
             shards = [build_one(s) for s in range(n_shards)]
-        return ShardedIndex.from_shards(shards, offsets, mesh, n, config)
+        return ShardedIndex.from_shards(shards, offsets, mesh, n, config,
+                                        pallas_tiles=pallas_tiles,
+                                        tile_csub=tile_csub)
 
     @staticmethod
     def from_shards(
@@ -223,9 +229,34 @@ class ShardedIndex:
         mesh: Mesh,
         total_docs: int,
         config: Optional[Configuration] = None,
+        pallas_tiles: bool = False,
+        tile_csub: int = 1,
     ) -> "ShardedIndex":
         shards = pad_shards_to_common_shapes(shards)
-        devices = [s.to_device() for s in shards]
+        if pallas_tiles:
+            # build each shard's aligned tile layout on host and pad to
+            # common shapes (appended rows are zero — beyond every shard's
+            # own zero region, so plans stay valid)
+            from ..ops_pallas_prep import prepare_pallas_tiles
+
+            aligned = [prepare_pallas_tiles(s, tile_csub) for s in shards]
+            max_rows = max(a[0].shape[0] for a in aligned)
+            max_sup = max(a[1].shape[0] for a in aligned)
+            aligned = [
+                (
+                    _pad_rows(t, max_rows, 0),
+                    _pad_rows(sc, max_sup, 0),
+                    rg,
+                )
+                for (t, sc, rg) in aligned
+            ]
+            devices = [
+                s.to_device(pallas_tiles=True, tile_csub=tile_csub,
+                            _aligned=a)
+                for s, a in zip(shards, aligned)
+            ]
+        else:
+            devices = [s.to_device() for s in shards]
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *devices)
 
         def shard_leaf(x):
@@ -237,6 +268,15 @@ class ShardedIndex:
             jnp.asarray(list(doc_offsets), dtype=jnp.int32),
             NamedSharding(mesh, P("docs")),
         )
+        ctxs = None
+        if pallas_tiles:
+            from ..search.planner import PlannerContext
+
+            ctxs = [
+                PlannerContext.from_arrays(s, region_start=a[2],
+                                           csub=tile_csub)
+                for s, a in zip(shards, aligned)
+            ]
         return ShardedIndex(
             stacked=stacked,
             doc_offsets=offs,
@@ -246,6 +286,7 @@ class ShardedIndex:
             config=config,
             host_shards=shards,
             host_offsets=[int(o) for o in doc_offsets],
+            planner_ctxs=ctxs,
         )
 
     # ------------------------------------------------------------ save/load
@@ -275,7 +316,8 @@ class ShardedIndex:
         return path
 
     @staticmethod
-    def load(path: str, mesh: Mesh) -> "ShardedIndex":
+    def load(path: str, mesh: Mesh, pallas_tiles: bool = False,
+             tile_csub: int = 1) -> "ShardedIndex":
         """Load a saved sharded index onto `mesh` (the "docs" axis size must
         match the saved shard count)."""
         with open(os.path.join(path, "sharded.json")) as f:
@@ -301,6 +343,8 @@ class ShardedIndex:
             mesh,
             manifest["total_docs"],
             config,
+            pallas_tiles=pallas_tiles,
+            tile_csub=tile_csub,
         )
 
     # ------------------------------------------------------------- search
@@ -328,6 +372,134 @@ class ShardedIndex:
             jnp.float32(heap_factor),
         )
         return np.asarray(scores), np.asarray(ids)
+
+
+    def search_batch_grouped(
+        self,
+        q_comps: np.ndarray,
+        q_vals: np.ndarray,
+        gp,  # GroupedParams
+        query_cut: int = 10,
+        M: int = 8,
+    ):
+        """Multi-chip search on the grouped (list-major) fast path: one
+        host plan per shard (each shard has its own posting lists), packed
+        plans stacked over the "docs" axis, per-shard grouped kernel +
+        exact rescore inside shard_map, all-gather top-k merge.
+
+        Pure document sharding (the "data" axis must be 1); wrap at the
+        process level for query data-parallelism."""
+        if self.planner_ctxs is None:
+            raise ValueError(
+                "grouped sharded search needs a pallas_tiles=True index "
+                "(build/load/from_shards with pallas_tiles=True)"
+            )
+        if self.mesh.shape.get("data", 1) != 1:
+            raise ValueError(
+                "search_batch_grouped supports pure doc sharding only "
+                "(mesh 'data' axis must be 1)"
+            )
+        from ..search.grouped import DevicePlan
+        from ..search.planner import plan_grouped
+
+        plans = [
+            plan_grouped(q_comps, q_vals, ctx, query_cut, M=M)
+            for ctx in self.planner_ctxs
+        ]
+        # common capacities across shards -> one SPMD program
+        G_cap = max(p.G_cap for p in plans)
+        W_cap = max(p.W_cap for p in plans)
+        packed = np.stack([
+            DevicePlan.pack_host(
+                _repack_plan(p, G_cap, W_cap, ctx.zero_region)
+            )
+            for p, ctx in zip(plans, self.planner_ctxs)
+        ])
+        B, QC = plans[0].pair_slot.shape
+        packed_dev = jax.device_put(
+            jnp.asarray(packed), NamedSharding(self.mesh, P("docs", None))
+        )
+        fn = _make_sharded_grouped_search(
+            self.mesh, gp, M, G_cap, W_cap, B, QC
+        )
+        scores, ids = fn(
+            self.stacked,
+            self.doc_offsets,
+            packed_dev,
+            jnp.asarray(q_comps, jnp.int32),
+            jnp.asarray(q_vals, jnp.float32),
+        )
+        return np.asarray(scores), np.asarray(ids)
+
+
+def _repack_plan(plan, G_cap: int, W_cap: int, zero_region: int):
+    """Pad a GroupedPlan's capacity-sized arrays up to common caps (the
+    cross-shard SPMD program needs identical shapes)."""
+    import dataclasses as _dc
+
+    if plan.G_cap == G_cap and plan.W_cap == W_cap:
+        return plan
+    B = plan.slot_b[plan.G:].max() if plan.G_cap else 0
+
+    def padg(a, fill):
+        return np.pad(a, (0, G_cap - plan.G_cap), constant_values=fill)
+
+    def padw(a, fill):
+        return np.pad(a, (0, W_cap - plan.W_cap), constant_values=fill)
+
+    slot_b = np.pad(
+        plan.slot_b, ((0, G_cap - plan.G_cap), (0, 0)),
+        constant_values=int(B),
+    )
+    slot_pair = np.pad(
+        plan.slot_pair, (0, (G_cap - plan.G_cap) * plan.M),
+        constant_values=0,
+    )
+    return _dc.replace(
+        plan,
+        group_list=padg(plan.group_list, 0),
+        group_region=padg(plan.group_region, zero_region),
+        group_nrows=padg(plan.group_nrows, 0),
+        slot_b=slot_b,
+        work_region=padw(plan.work_region, zero_region),
+        work_g=padw(plan.work_g, plan.G),
+        work_s=padw(plan.work_s, 0),
+        slot_pair=slot_pair,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _make_sharded_grouped_search(mesh, gp, M, G_cap, W_cap, B, QC):
+    from ..search.grouped import DevicePlan, _grouped_impl
+
+    def local_search(index_stacked, doc_offset, packed, q_comps, q_vals):
+        local = jax.tree.map(lambda x: x[0], index_stacked)
+        dplan = DevicePlan(packed=packed[0], M=M, G_cap=G_cap,
+                           W_cap=W_cap, B=B, QC=QC)
+        scores, ids = _grouped_impl(local, dplan, q_comps, q_vals, gp)
+        gids = jnp.where(ids >= 0, ids + doc_offset[0], jnp.int32(-1))
+        return merge_topk_across_docs(scores, gids)
+
+    jitted = {}
+
+    def fn(stacked, doc_offsets, packed, q_comps, q_vals):
+        key = jax.tree.structure(stacked)
+        if key not in jitted:
+            in_index_specs = jax.tree.map(
+                lambda x: P("docs", *([None] * (x.ndim - 1))), stacked
+            )
+            mapped = shard_map(
+                local_search,
+                mesh=mesh,
+                in_specs=(in_index_specs, P("docs"), P("docs", None),
+                          P(None, None), P(None, None)),
+                out_specs=(P(None, None), P(None, None)),
+                check_vma=False,
+            )
+            jitted[key] = jax.jit(mapped)
+        return jitted[key](stacked, doc_offsets, packed, q_comps, q_vals)
+
+    return fn
 
 
 def merge_topk_across_docs(scores, gids, axis_name: str = "docs"):

@@ -315,14 +315,17 @@ class IndexArrays:
 
     # ------------------------------------------------------------- device
     def to_device(self, device=None, pallas_tiles: bool = False,
-                  tile_csub: int = 1):
+                  tile_csub: int = 1, _aligned=None):
         """Upload all arrays to a device, returning a DeviceIndex pytree.
 
         With pallas_tiles=True (and doc tiles present) additionally builds
         the SUB-aligned tile layout consumed by the Pallas fused scorer
         (SearchParams.use_pallas). tile_csub > 1 packs csub consecutive
         subtiles per work item ([csub*128, V] DMAs — fewer, larger grid
-        steps for the grouped scorer; grouped-path only)."""
+        steps for the grouped scorer; grouped-path only). `_aligned`
+        supplies precomputed (tiles_i8, scale3d, region_start) — used by
+        the sharded path, which pads the aligned layouts to common shapes
+        across shards before upload."""
         import jax
         import jax.numpy as jnp
 
@@ -333,12 +336,16 @@ class IndexArrays:
 
         extra = {}
         skip = set()
-        if pallas_tiles and self.doc_tiles is not None:
-            from .ops_pallas_prep import prepare_pallas_tiles
+        if pallas_tiles and (self.doc_tiles is not None
+                             or _aligned is not None):
+            if _aligned is not None:
+                tiles_i8, scale3d, region_start = _aligned
+            else:
+                from .ops_pallas_prep import prepare_pallas_tiles
 
-            tiles_i8, scale3d, region_start = prepare_pallas_tiles(
-                self, tile_csub
-            )
+                tiles_i8, scale3d, region_start = prepare_pallas_tiles(
+                    self, tile_csub
+                )
             extra = dict(
                 doc_tiles_aligned=put(tiles_i8),
                 tile_scale3d=put(scale3d),

@@ -140,3 +140,54 @@ def test_parallel_shard_build_matches_sequential(setup):
     sb, ib = b.search_batch(q_comps, q_vals, params, heap_factor=0.0)
     assert np.array_equal(ia, ib)
     assert np.allclose(sa, sb)
+
+
+def test_sharded_grouped_matches_single():
+    """Doc-sharded grouped fast path (per-shard host plans + grouped
+    kernel + exact rescore inside shard_map, all-gather merge) must agree
+    with the single-index grouped path over the concatenated collection."""
+    import numpy as np
+
+    from seismic_tpu import Configuration, TpuLayout
+    from seismic_tpu.build.builder import build_index
+    from seismic_tpu.parallel.mesh import make_mesh
+    from seismic_tpu.parallel.sharded import ShardedIndex
+    from seismic_tpu.search.engine import pad_queries
+    from seismic_tpu.search.grouped import GroupedParams, search_grouped
+    from seismic_tpu.search.planner import PlannerContext
+    from tests.conftest import make_random_dataset, make_random_queries
+
+    rng = np.random.default_rng(3)
+    ds = make_random_dataset(rng, n_docs=240, dim=400, min_nnz=10,
+                             max_nnz=30, seed=21)
+    cfg = Configuration(layout=TpuLayout(max_block_len=16,
+                                         summary_vocab_cap=256,
+                                         tile_overflow=8))
+    qc, qv = make_random_queries(np.random.default_rng(4), n_queries=8,
+                                 dim=400, min_nnz=6, max_nnz=20)
+    q_comps, q_vals = pad_queries(qc, qv, 64)
+    gp = GroupedParams(k=10, score_cut=64, pool=64, rescore=32,
+                       compute_dtype="f32", pool_mode="exact")
+
+    arrays = build_index(ds, cfg)
+    dev = arrays.to_device(pallas_tiles=True)
+    ctx = PlannerContext.from_arrays(arrays)
+    s_ref, i_ref = search_grouped(dev, ctx, q_comps, q_vals, gp,
+                                  query_cut=8)
+
+    mesh = make_mesh(n_docs_shards=4, n_data=1)
+    sharded = ShardedIndex.build(ds, mesh, cfg, pallas_tiles=True)
+    s_sh, i_sh = sharded.search_batch_grouped(q_comps, q_vals, gp,
+                                              query_cut=8)
+
+    for b in range(len(i_ref)):
+        ref = {int(d): float(s) for s, d in zip(s_ref[b], i_ref[b])
+               if d >= 0}
+        got = {int(d): float(s) for s, d in zip(s_sh[b], i_sh[b])
+               if d >= 0}
+        shared = set(ref) & set(got)
+        # sharded search unions per-shard top-k pools, so sets can differ
+        # at the tail; the top half must agree with identical exact scores
+        assert len(shared) >= 5
+        for d in shared:
+            assert abs(ref[d] - got[d]) < 1e-4 * max(1.0, abs(ref[d]))
