@@ -12,13 +12,14 @@ time of 185 us/query (~5405 QPS) on MS MARCO SPLADE-v3 (reference
 README.md:110-115); the driver's target is >= 50x.
 
 The measured path is the grouped (list-major) search, round-2 final form:
-host planner groups (query, list) pairs by list; the int8 MXU Pallas
-kernel streams each list's doc tiles once per group in [csub*128, V]
-super-blocks; approx_max_k pools candidates; the exact-rescore kernel
-restores exact forward-index scores for the top pool (search/grouped.py,
-ops/pallas_grouped.py, ops/pallas_rescore.py). The throughput loop
-re-plans every batch on the host — planning overlaps device execution
-through JAX's async dispatch, exactly as a pipelined serving process runs.
+the plan (grouping of the batch's (query, list) pairs by posting list)
+is DERIVED ON DEVICE inside the jit program (sorts + scans + scatters);
+the host's native planner supplies only the static capacities and runs
+overlapped with the previous batch. The int8 MXU Pallas kernel streams
+each list's doc tiles once per group in [csub*128, V] super-blocks;
+approx_max_k pools candidates; the exact-rescore kernel restores exact
+forward-index scores for the top pool (search/grouped.py,
+ops/pallas_grouped.py, ops/pallas_rescore.py).
 
 The index build is cached under .bench_cache/ (directory format, mmap) so
 repeated runs only measure the query path. All progress goes to stderr.
@@ -38,9 +39,9 @@ CACHE = os.path.join(ROOT, ".bench_cache")
 # ---- benchmark protocol constants ----
 N_DOCS = int(os.environ.get("BENCH_N_DOCS", 100_000))
 DIM = 30522
-N_QUERIES = int(os.environ.get("BENCH_N_QUERIES", 2048))
+N_QUERIES = int(os.environ.get("BENCH_N_QUERIES", 4096))
 K = 10
-BATCH = int(os.environ.get("BENCH_BATCH", 2048))
+BATCH = int(os.environ.get("BENCH_BATCH", 4096))
 TARGET_RECALL = 0.97
 N_POSTINGS = int(os.environ.get("BENCH_N_POSTINGS", 200))
 BASELINE_QPS = 1e6 / 185.0  # reference single-thread CPU AQT
@@ -123,18 +124,23 @@ def get_index(ds):
 
 
 def get_queries(dim):
-    """N_QUERIES DISTINCT queries (two seeds; tiling duplicates would let
-    duplicate pairs share plan groups and overstate throughput)."""
+    """N_QUERIES DISTINCT queries (fresh seed per 1024; tiling duplicates
+    would let duplicate pairs share plan groups and overstate
+    throughput)."""
     from seismic_tpu.harness.synth import synth_queries
     from seismic_tpu.search.engine import pad_queries
 
-    qc1, qv1 = synth_queries(1024, dim=dim, seed=11)
-    q_comps, q_vals = pad_queries(qc1, qv1, 64)
-    if N_QUERIES > 1024:
-        qc2, qv2 = synth_queries(N_QUERIES - 1024, dim=dim, seed=12)
-        e_comps, e_vals = pad_queries(qc2, qv2, 64)
-        q_comps = np.concatenate([q_comps, e_comps])
-        q_vals = np.concatenate([q_vals, e_vals])
+    parts = []
+    remaining = N_QUERIES
+    seed = 11
+    while remaining > 0:
+        n = min(1024, remaining)
+        qc1, qv1 = synth_queries(n, dim=dim, seed=seed)
+        parts.append(pad_queries(qc1, qv1, 64))
+        remaining -= n
+        seed += 1
+    q_comps = np.concatenate([p[0] for p in parts])
+    q_vals = np.concatenate([p[1] for p in parts])
     return q_comps, q_vals
 
 
@@ -247,6 +253,8 @@ def main():
     from seismic_tpu.search.grouped import (
         DevicePlan,
         GroupedParams,
+        plan_caps,
+        search_grouped_derive_jit,
         search_grouped_jit,
     )
     from seismic_tpu.search.planner import PlannerContext, plan_grouped
@@ -268,18 +276,21 @@ def main():
                        compute_dtype="i8", pool_mode="approx")
     n_batches = max(1, N_QUERIES // BATCH)
 
-    def run_rung(query_cut, B, n_b, params=gp):
+    def run_rung(query_cut, B, n_b, params=gp, ix=None):
+        """Device-derived planning: the host's native planner supplies only
+        the static (G_cap, W_cap); the jit program re-derives the plan
+        from the queries (no plan upload)."""
         outs = []
         stats = None
         for b in range(n_b):
             qc_np = q_comps[b * B: (b + 1) * B]
             qv_np = q_vals[b * B: (b + 1) * B]
             plan = plan_grouped(qc_np, qv_np, ctx, query_cut, M=8)
-            dplan = DevicePlan.put(plan)
-            out = search_grouped_jit(
-                index, dplan,
+            out = search_grouped_derive_jit(
+                ix if ix is not None else index,
                 jnp.asarray(qc_np, jnp.int32),
                 jnp.asarray(qv_np, jnp.float32), params,
+                query_cut, 8, plan.G_cap, plan.W_cap, ctx.zero_region,
             )
             outs.append(np.asarray(out[1]))
             stats = plan
@@ -300,11 +311,13 @@ def main():
     need = min(TARGET_RECALL, best - 0.003)
     query_cut, rec, streamed_kb = next(r for r in rungs if r[1] >= need)
 
-    # ---- throughput (e2e: host plan + upload + search, async-pipelined) --
+    # ---- throughput (e2e: host caps + device-derived plan + search) ----
     def once(qc_np, qv_np, qc_dev, qv_dev):
-        plan = plan_grouped(qc_np, qv_np, ctx, query_cut, M=8)
-        dplan = DevicePlan.put(plan)
-        return search_grouped_jit(index, dplan, qc_dev, qv_dev, gp)
+        gc, wc = plan_caps(qc_np, qv_np, ctx, query_cut, M=8)
+        return search_grouped_derive_jit(
+            index, qc_dev, qv_dev, gp, query_cut, 8, gc, wc,
+            ctx.zero_region,
+        )
 
     qcd = [jnp.asarray(q_comps[b * BATCH:(b + 1) * BATCH], jnp.int32)
            for b in range(n_batches)]
@@ -333,9 +346,11 @@ def main():
         qv_dev = jnp.asarray(qv_np, jnp.float32)
 
         def once_b(qc_np=qc_np, qv_np=qv_np, qc_dev=qc_dev, qv_dev=qv_dev):
-            plan = plan_grouped(qc_np, qv_np, ctx, query_cut, M=8)
-            dplan = DevicePlan.put(plan)
-            return search_grouped_jit(index, dplan, qc_dev, qv_dev, gp)
+            gc, wc = plan_caps(qc_np, qv_np, ctx, query_cut, M=8)
+            return search_grouped_derive_jit(
+                index, qc_dev, qv_dev, gp, query_cut, 8, gc, wc,
+                ctx.zero_region,
+            )
 
         _sync(once_b())  # compile this batch class
         times = []
@@ -363,17 +378,19 @@ def main():
                                compute_dtype="i8", pool_mode="approx",
                                n_knn=8)
         qc_rung = 14
-        plan = plan_grouped(q_comps[:1024], q_vals[:1024], ctx, qc_rung, M=8)
-        dplan = DevicePlan.put(plan)
-        out = _sync(search_grouped_jit(
-            index_knn, dplan, jnp.asarray(q_comps[:1024], jnp.int32),
-            jnp.asarray(q_vals[:1024], jnp.float32), gp_knn))
+        gc, wc = plan_caps(q_comps[:1024], q_vals[:1024], ctx, qc_rung,
+                           M=8)
+        kqd = jnp.asarray(q_comps[:1024], jnp.int32)
+        kvd = jnp.asarray(q_vals[:1024], jnp.float32)
+        out = _sync(search_grouped_derive_jit(
+            index_knn, kqd, kvd, gp_knn, qc_rung, 8, gc, wc,
+            ctx.zero_region))
         r_knn = recall_at_k(np.asarray(out[1]), gt_ids[:1024])
         t0 = time.time()
         for _ in range(5):
-            out = search_grouped_jit(
-                index_knn, dplan, jnp.asarray(q_comps[:1024], jnp.int32),
-                jnp.asarray(q_vals[:1024], jnp.float32), gp_knn)
+            out = search_grouped_derive_jit(
+                index_knn, kqd, kvd, gp_knn, qc_rung, 8, gc, wc,
+                ctx.zero_region)
         _sync(out)
         dt = (time.time() - t0) / 5
         knn_rung = {

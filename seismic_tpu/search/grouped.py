@@ -252,16 +252,139 @@ def _dedup_with_payload(scores, ids, payload, n_docs: int):
     return scores_s, ids_s, pay_s
 
 
+def derive_plan_device(
+    index: DeviceIndex,
+    q_comps,  # [B, Q] int32
+    q_vals,  # [B, Q] f32
+    query_cut: int,
+    M: int,
+    G_cap: int,
+    W_cap: int,
+    zero_region: int,  # SUPER-tile units (PlannerContext.zero_region)
+) -> "_PlanView":
+    """Build the grouped plan ON DEVICE (sorts + scans + scatters, ~1 ms),
+    replacing the host plan upload: the host's only job is supplying the
+    static capacities (G_cap, W_cap) — its native planner runs during the
+    previous batch's device time, so nothing serializes. Semantics match
+    plan_grouped (group composition is identical for any top-QC tie
+    order; see native planner notes)."""
+    B, Q = q_comps.shape
+    QC = min(query_cut, Q)
+    P = B * QC
+    csub = index.tile_csub
+    n_lists = index.list_len.shape[0]
+
+    valid_q = q_comps != PAD_COMPONENT
+    qv = jnp.where(valid_q, q_vals, 0.0)
+    if QC < Q:
+        top_v, top_p = jax.lax.top_k(qv, QC)
+        lids = jnp.take_along_axis(q_comps, top_p, axis=1)
+    else:
+        top_v, lids = qv, q_comps
+    safe_l = jnp.clip(lids, 0, n_lists - 1)
+    llen = index.list_len[safe_l]
+    valid = (
+        (top_v > 0) & (lids >= 0) & (lids < n_lists) & (llen > 0)
+    ).reshape(P)
+    keys = jnp.where(valid, safe_l.reshape(P), n_lists).astype(jnp.int32)
+    flat_idx = jnp.arange(P, dtype=jnp.int32)
+    sl, sp = jax.lax.sort((keys, flat_idx), dimension=0, num_keys=1)
+    valid_s = sl < n_lists
+
+    idx = jnp.arange(P, dtype=jnp.int32)
+    new_seg = jnp.concatenate(
+        [jnp.ones((1,), bool), sl[1:] != sl[:-1]]
+    )
+    seg_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(new_seg, idx, 0)
+    )
+    rank = idx - seg_start
+    m_of = rank % M
+    gflag = valid_s & (m_of == 0)
+    g_of = jnp.cumsum(gflag.astype(jnp.int32)) - 1
+    G = jnp.sum(gflag.astype(jnp.int32))
+
+    dump_slot = G_cap * M - 1  # a padding group's slot; masked downstream
+    slot = g_of * M + m_of
+    scat_g = jnp.where(gflag, g_of, G_cap)  # drop-mode for non-leads
+    scat_s = jnp.where(valid_s, slot, G_cap * M)  # drop invalid pairs
+
+    v = _PlanView()
+    v.M = M
+    v.group_list = jnp.zeros(G_cap, jnp.int32).at[scat_g].set(
+        sl, mode="drop"
+    )
+    v.group_nrows = jnp.zeros(G_cap, jnp.int32).at[scat_g].set(
+        index.list_len[jnp.minimum(sl, n_lists - 1)], mode="drop"
+    )
+    v.group_region = jnp.full(G_cap, 0, jnp.int32).at[scat_g].set(
+        index.list_region_start[jnp.minimum(sl, n_lists - 1)], mode="drop"
+    )
+    v.slot_b = (
+        jnp.full(G_cap * M, B, jnp.int32)
+        .at[scat_s].set(sp // QC, mode="drop")
+        .reshape(G_cap, M)
+    )
+    v.slot_pair = jnp.zeros(G_cap * M, jnp.int32).at[scat_s].set(
+        sp, mode="drop"
+    )
+    # pair tables, indexed by the original (b, qc-slot) flat position
+    scat_p = jnp.where(valid_s, sp, P)
+    v.pair_slot = (
+        jnp.full(P, dump_slot, jnp.int32)
+        .at[scat_p].set(slot, mode="drop").reshape(B, QC)
+    )
+    safe_sl = jnp.minimum(sl, n_lists - 1)
+    v.pair_pstart = (
+        jnp.zeros(P, jnp.int32)
+        .at[scat_p].set(index.list_post_start[safe_sl], mode="drop")
+        .reshape(B, QC)
+    )
+    v.pair_valid = (
+        jnp.zeros(P, bool).at[scat_p].set(True, mode="drop").reshape(B, QC)
+    )
+    v.pair_list = (
+        jnp.zeros(P, jnp.int32).at[scat_p].set(sl, mode="drop")
+        .reshape(B, QC)
+    )
+    v.pair_len = (
+        jnp.zeros(P, jnp.int32)
+        .at[scat_p].set(index.list_len[safe_sl], mode="drop")
+        .reshape(B, QC)
+    )
+
+    # work list: one item per (group, super-tile); item -> group via
+    # binary search over the cumulative super-tile counts
+    gidx = jnp.arange(G_cap, dtype=jnp.int32)
+    nsub = jnp.maximum(1, -(-v.group_nrows // 128))
+    nsup = jnp.where(gidx < G, -(-nsub // csub), 0)
+    S0 = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(nsup, dtype=jnp.int32)]
+    )
+    W = S0[-1]
+    w = jnp.arange(W_cap, dtype=jnp.int32)
+    g_w = jnp.searchsorted(S0[1:], w, side="right").astype(jnp.int32)
+    g_w = jnp.minimum(g_w, G_cap - 1)
+    s_w = w - S0[g_w]
+    valid_w = w < W
+    region_w = v.group_region[g_w] // csub + s_w
+    v.work_region = jnp.where(valid_w, region_w, zero_region)
+    v.work_g = jnp.where(valid_w, g_w, jnp.minimum(G, G_cap - 1))
+    v.work_s = jnp.where(valid_w, s_w, 0)
+    return v
+
+
 def _grouped_impl(
     index: DeviceIndex,
-    plan: DevicePlan,
+    plan,  # DevicePlan (packed) or _PlanView (device-derived)
     q_comps,  # [B, Q] int32 PAD_COMPONENT padded
     q_vals,  # [B, Q] f32
     params: GroupedParams,
 ):
     from .engine import _dedup_by_id, _knn_refine, densify_query_batch
 
-    plan = plan.view()  # packed buffer -> named trace-time slices
+    if isinstance(plan, DevicePlan):
+        plan = plan.view()  # packed buffer -> named trace-time slices
     B, Q = q_comps.shape
     G_cap, M = plan.slot_b.shape
     V = index.list_vocab.shape[1]
@@ -479,6 +602,34 @@ def _grouped_impl(
 @functools.partial(jax.jit, static_argnames=("params",))
 def search_grouped_jit(index, plan, q_comps, q_vals, params):
     return _grouped_impl(index, plan, q_comps, q_vals, params)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "params", "query_cut", "M", "G_cap", "W_cap", "zero_region"
+    ),
+)
+def search_grouped_derive_jit(
+    index, q_comps, q_vals, params, query_cut, M, G_cap, W_cap, zero_region
+):
+    """One fused program: device-side plan derivation + grouped search.
+    Only the queries cross host->device; the host supplies G_cap/W_cap
+    (static, bucketed — from the native planner's counts, which run
+    overlapped with the previous batch)."""
+    plan = derive_plan_device(
+        index, q_comps, q_vals, query_cut, M, G_cap, W_cap, zero_region
+    )
+    return _grouped_impl(index, plan, q_comps, q_vals, params)
+
+
+def plan_caps(q_comps, q_vals, ctx, query_cut: int, M: int = 8):
+    """Host-side (G_cap, W_cap) for the device-derived plan — exact G/W
+    from the native planner, rounded to jit-stable buckets."""
+    from .planner import _round_up, plan_grouped
+
+    p = plan_grouped(q_comps, q_vals, ctx, query_cut, M=M)
+    return p.G_cap, p.W_cap
 
 
 def search_grouped(

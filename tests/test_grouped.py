@@ -289,3 +289,36 @@ def test_grouped_csub2_matches_csub1(setup):
         assert set(i1[b][s1[b] > -np.inf].tolist()) == set(
             i2[b][s2[b] > -np.inf].tolist()
         )
+
+
+def test_device_derived_plan_matches_host(setup):
+    """The on-device plan derivation must reproduce the host-planned
+    search results exactly (same plan semantics, no plan upload)."""
+    import jax.numpy as jnp
+
+    from seismic_tpu.search.grouped import (
+        DevicePlan,
+        plan_caps,
+        search_grouped_derive_jit,
+        search_grouped_jit,
+    )
+    from seismic_tpu.search.planner import plan_grouped
+
+    ds, arrays, ctx, q_comps, q_vals, gt_i = setup
+    dev = arrays.to_device(pallas_tiles=True)
+    gp = GroupedParams(k=10, score_cut=64, pool=128, compute_dtype="f32",
+                       ovf_pool=0, pool_mode="exact")
+    qd = jnp.asarray(q_comps, jnp.int32)
+    vd = jnp.asarray(q_vals, jnp.float32)
+
+    plan = plan_grouped(q_comps, q_vals, ctx, 10, M=8)
+    s_h, i_h = search_grouped_jit(dev, DevicePlan.put(plan), qd, vd, gp)
+    G_cap, W_cap = plan_caps(q_comps, q_vals, ctx, 10, M=8)
+    assert (G_cap, W_cap) == (plan.G_cap, plan.W_cap)
+    s_d, i_d = search_grouped_derive_jit(
+        dev, qd, vd, gp, 10, 8, G_cap, W_cap, ctx.zero_region
+    )
+    s_h, i_h, s_d, i_d = map(np.asarray, (s_h, i_h, s_d, i_d))
+    assert np.allclose(s_h, s_d, rtol=1e-5, atol=1e-6)
+    for b in range(len(i_h)):
+        assert set(i_h[b].tolist()) == set(i_d[b].tolist())
