@@ -113,8 +113,13 @@ def get_index(ds):
             tile_overflow=TILE_OVERFLOW,
         ),
     )
+    import contextlib
+
     t = time.time()
-    arrays = build_index(ds, cfg, value_dtype="f32", progress=True)
+    # keep stdout clean for the one-JSON-line contract (the builder's
+    # progress prints go to stdout)
+    with contextlib.redirect_stdout(sys.stderr):
+        arrays = build_index(ds, cfg, value_dtype="f32", progress=True)
     build_secs = time.time() - t
     log(f"index build: {build_secs:.1f}s")
     arrays.save_dir(dirpath)
@@ -326,8 +331,20 @@ def main():
     qcn = [q_comps[b * BATCH:(b + 1) * BATCH] for b in range(n_batches)]
     qvn = [q_vals[b * BATCH:(b + 1) * BATCH] for b in range(n_batches)]
 
+    # tunnel/dispatch round-trip (the axon tunnel's sync RTT dominates
+    # small-batch latency and adds ~RTT/reps to the throughput loop)
+    f_id = jax.jit(lambda x: x + 1)
+    _sync((f_id(jnp.float32(1.0)),))
+    rtts = []
+    for _ in range(9):
+        t0 = time.time()
+        _sync((f_id(jnp.float32(1.0)),))
+        rtts.append(time.time() - t0)
+    rtt_ms = float(np.median(rtts) * 1e3)
+    log(f"tunnel sync RTT p50: {rtt_ms:.1f}ms")
+
     _sync(once(qcn[0], qvn[0], qcd[0], qvd[0]))  # warm
-    reps = 10
+    reps = 20
     t0 = time.time()
     out = None
     for _ in range(reps):
@@ -417,6 +434,12 @@ def main():
         "recall_at_10": round(rec, 4),
         "p50_ms": p50,
         "streamed_kb_per_query": round(streamed_kb),
+        "tunnel_rtt_ms": round(rtt_ms, 1),
+        "p50_note": (
+            "per-call latencies include one tunnel sync round-trip "
+            f"(~{rtt_ms:.0f}ms on this axon setup); batch-1 device time "
+            "is a small fraction of p50_ms.b1"
+        ),
         "index_bytes": space,
         "knn_rung": knn_rung,
         "pallas_gate": gate,

@@ -146,3 +146,34 @@ def pallas_align_doc_tiles(arrays, ll_pad: int, csub: int = 1):
         scale.reshape(n_super, 1, lanes), 8, axis=1
     ).astype(np.float32)
     return tiles.view(np.int8), scale3d, region_start.astype(np.int32)
+
+
+def super_tile_summaries(tiles_u8_or_i8, scale3d, csub: int):
+    """Per-super-tile component-wise UPPER BOUNDS of the aligned doc
+    tiles: ub[s, v] = max_r code[r, v] * scale[r] over the super-tile's
+    rows, re-quantized to u8 with a per-super scale. The streaming-budget
+    mode ranks work items by query . ub — the TPU analogue of the
+    reference's summary-guided block skip (posting_list.rs:115-146) at
+    super-tile granularity. ~0.4% of the tile bytes.
+
+    Returns (codes u8 [n_super, V], scale f32 [n_super])."""
+    tiles = tiles_u8_or_i8.view(np.uint8)
+    total_rows, V = tiles.shape
+    lanes = csub * SUB
+    n_super = total_rows // lanes
+    row_scale = np.ascontiguousarray(scale3d[:, 0, :]).reshape(-1)
+    codes = np.zeros((n_super, V), np.uint8)
+    scales = np.zeros(n_super, np.float32)
+    chunk = max(1, (1 << 26) // (lanes * V))  # ~64MB f32 working set
+    for s0 in range(0, n_super, chunk):
+        s1 = min(s0 + chunk, n_super)
+        t = tiles[s0 * lanes: s1 * lanes].astype(np.float32)
+        t *= row_scale[s0 * lanes: s1 * lanes, None]
+        ub = t.reshape(s1 - s0, lanes, V).max(axis=1)  # [chunk, V]
+        mx = ub.max(axis=1)
+        sc = np.maximum(mx, 1e-20) / 255.0
+        codes[s0:s1] = np.ceil(ub / sc[:, None]).clip(0, 255).astype(
+            np.uint8
+        )
+        scales[s0:s1] = sc
+    return codes, scales

@@ -65,6 +65,13 @@ class GroupedParams:
     # correction — removes both the vocab-truncation and the u8 tile
     # quantization error from the returned scores. Supersedes ovf when set.
     rescore: int = 0
+    # < 1.0: summary-guided streaming budget — keep only the top
+    # stream_frac of the batch's work items (super-tiles) ranked by
+    # query-projection . super-tile-upper-bound, the TPU analogue of the
+    # reference's block skip (posting_list.rs:115-146): heap_factor cuts
+    # DMA + MXU work, not just recall. Requires an index uploaded with
+    # to_device(super_summaries=True).
+    stream_frac: float = 1.0
     # qloc computation: "pallas" = in-VMEM projection kernel,
     # "einsum" = the round-2 XLA compare-einsum (reference path)
     qloc_mode: str = "pallas"
@@ -476,14 +483,46 @@ def _grouped_impl(
     if params.stop_after == "expand":
         return qloc, qloc
 
+    work_region, work_g, work_s = (
+        plan.work_region, plan.work_g, plan.work_s
+    )
+    streamed = None
+    W_cap = work_region.shape[0]
+    NSUP = LLMAX // (csub * 128)
+    if params.stream_frac < 1.0:
+        assert index.super_summary is not None, (
+            "stream_frac < 1 needs to_device(super_summaries=True)"
+        )
+        # priority[w] = max over the group's slots of
+        #   qloc[g_w, m] . upper_bound(super-tile w)
+        ub = (
+            index.super_summary[work_region].astype(jnp.bfloat16)
+        )  # [W_cap, V]
+        qg = qloc[work_g].astype(jnp.bfloat16)  # [W_cap, M, V]
+        # padding items point at the all-zero tail region: ub = 0 ->
+        # priority 0, naturally below every useful item
+        pr = jnp.einsum(
+            "wmv,wv->wm", qg, ub, preferred_element_type=jnp.float32
+        ).max(axis=1) * index.super_scale[work_region]
+        Wb = max(128, int(round(params.stream_frac * W_cap)))
+        Wb = min(Wb, W_cap)
+        _, keep = jax.lax.top_k(pr, Wb)
+        keep = jnp.sort(keep)  # restore group-major order (qloc reuse)
+        work_region = work_region[keep]
+        work_g = work_g[keep]
+        work_s = work_s[keep]
+        streamed = jnp.zeros((G_cap, NSUP), bool).at[
+            work_g, work_s
+        ].set(True, mode="drop")
+
     # ---- grouped tile scoring on the MXU ----
     scores = score_grouped_pallas(
         index.doc_tiles_aligned,
         index.tile_scale3d,
         qloc,
-        plan.work_region,
-        plan.work_g,
-        plan.work_s,
+        work_region,
+        work_g,
+        work_s,
         LLMAX,
         interpret=interpret,
         compute_dtype=params.compute_dtype,
@@ -504,6 +543,12 @@ def _grouped_impl(
         jnp.arange(LLMAX, dtype=jnp.int32)[None, None, :]
         < plan.pair_len[..., None]
     ) & plan.pair_valid[..., None]
+    if streamed is not None:
+        # mask rows of super-tiles the budget skipped (their kernel output
+        # rows are uninitialized)
+        pair_group = plan.pair_slot // M  # [B, QC]
+        st = streamed[jnp.minimum(pair_group, G_cap - 1)]  # [B, QC, NSUP]
+        rows_ok &= jnp.repeat(st, csub * 128, axis=-1)
     pv = jnp.where(rows_ok, pv, -jnp.inf).reshape(B, QC * LLMAX)
     if params.stop_after == "regroup":
         return pv, pv

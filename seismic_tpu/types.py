@@ -315,7 +315,8 @@ class IndexArrays:
 
     # ------------------------------------------------------------- device
     def to_device(self, device=None, pallas_tiles: bool = False,
-                  tile_csub: int = 1, _aligned=None):
+                  tile_csub: int = 1, super_summaries: bool = False,
+                  _aligned=None):
         """Upload all arrays to a device, returning a DeviceIndex pytree.
 
         With pallas_tiles=True (and doc tiles present) additionally builds
@@ -351,6 +352,12 @@ class IndexArrays:
                 tile_scale3d=put(scale3d),
                 list_region_start=put(region_start),
             )
+            if super_summaries:
+                from .ops.pallas_tiles import super_tile_summaries
+
+                sc, ss = super_tile_summaries(tiles_i8, scale3d, tile_csub)
+                extra["super_summary"] = put(sc)
+                extra["super_scale"] = put(ss)
             # the packed tiles are superseded on device; keep HBM for the
             # aligned layout
             skip = {"doc_tiles", "doc_tile_scale"}
@@ -409,6 +416,9 @@ class DeviceIndex:
     doc_tiles_aligned: object = None
     tile_scale3d: object = None
     list_region_start: object = None
+    # per-super-tile upper-bound summaries (streaming-budget mode)
+    super_summary: object = None
+    super_scale: object = None
     dim: int = 0
     n_docs: int = 0
     max_blocks_per_list: int = 0

@@ -322,3 +322,24 @@ def test_device_derived_plan_matches_host(setup):
     assert np.allclose(s_h, s_d, rtol=1e-5, atol=1e-6)
     for b in range(len(i_h)):
         assert set(i_h[b].tolist()) == set(i_d[b].tolist())
+
+
+def test_stream_budget_mode(setup):
+    """Summary-guided streaming budget: stream_frac < 1 must keep recall
+    close to the exhaustive scan (the upper-bound priorities keep the
+    super-tiles that matter) and never return scores for docs of skipped
+    tiles."""
+    ds, arrays, ctx, q_comps, q_vals, gt_i = setup
+    dev = arrays.to_device(pallas_tiles=True, super_summaries=True)
+    base = GroupedParams(k=10, score_cut=64, pool=64, rescore=32,
+                         compute_dtype="i8")
+    s_f, i_f = search_grouped(dev, ctx, q_comps, q_vals, base,
+                              query_cut=10)
+    r_full = _recall(i_f, gt_i)
+    for frac in (0.75, 0.5):
+        gp = GroupedParams(k=10, score_cut=64, pool=64, rescore=32,
+                           compute_dtype="i8", stream_frac=frac)
+        s_b, i_b = search_grouped(dev, ctx, q_comps, q_vals, gp,
+                                  query_cut=10)
+        r = _recall(i_b, gt_i)
+        assert r >= r_full - (0.12 if frac == 0.5 else 0.06)
