@@ -278,7 +278,8 @@ def main():
     space = arrays.space_usage_report()
 
     gp = GroupedParams(k=K, score_cut=64, pool=64, rescore=48,
-                       compute_dtype="i8", pool_mode="approx")
+                       compute_dtype="i8", pool_mode="hier",
+                       pool_per_pair=16)
     n_batches = max(1, N_QUERIES // BATCH)
 
     def run_rung(query_cut, B, n_b, params=gp, ix=None):

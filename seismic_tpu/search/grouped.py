@@ -78,9 +78,12 @@ class GroupedParams:
     # candidate-pool selection: "approx" = lax.approx_max_k (TPU PartialReduce,
     # several x faster than the full sort of lax.top_k; per-element recall
     # `pool_recall` on the PADDED row, which overwhelmingly drops tail-of-pool
-    # entries, not top-k ones), "exact" = lax.top_k
+    # entries, not top-k ones), "exact" = lax.top_k, "hier" = per-(query,
+    # list) approx top-`pool_per_pair` then a small exact merge (cheapest;
+    # caps each list's contribution to the pool)
     pool_mode: str = "approx"
     pool_recall: float = 0.98
+    pool_per_pair: int = 12
     # rescore-path dedup placement: "pre" = sort-dedup the whole pool
     # before picking the rescore set (max unique candidates); "post" =
     # rescore the raw top-`rescore` (dups waste some rescore lanes) and
@@ -555,7 +558,23 @@ def _grouped_impl(
 
     # ---- per-query pool + dedup + overflow re-rank + top-k ----
     pool = min(params.pool if params.pool > 0 else 8 * k, QC * LLMAX)
-    if params.pool_mode == "approx" and pool < QC * LLMAX:
+    if params.pool_mode == "hier":
+        # stage 1: top-t per (query, list) row — approx_max_k with small k
+        # is much cheaper than one wide pass; stage 2: tiny exact merge
+        t = min(params.pool_per_pair, LLMAX)
+        pvr = pv.reshape(B * QC, LLMAX)
+        v1, i1 = jax.lax.approx_max_k(
+            pvr, t, recall_target=params.pool_recall
+        )
+        gsel = (
+            jnp.arange(QC, dtype=jnp.int32)[None, :, None] * LLMAX
+            + i1.reshape(B, QC, t)
+        ).reshape(B, QC * t)
+        v1 = v1.reshape(B, QC * t)
+        pool = min(pool, QC * t)
+        top_scores, p1 = jax.lax.top_k(v1, pool)
+        sel = jnp.take_along_axis(gsel, p1, axis=1)
+    elif params.pool_mode == "approx" and pool < QC * LLMAX:
         top_scores, sel = jax.lax.approx_max_k(
             pv, pool, recall_target=params.pool_recall
         )

@@ -343,3 +343,19 @@ def test_stream_budget_mode(setup):
                                   query_cut=10)
         r = _recall(i_b, gt_i)
         assert r >= r_full - (0.12 if frac == 0.5 else 0.06)
+
+
+def test_pool_mode_hier(setup):
+    """Hierarchical pool (per-pair top-t + exact merge) must track the
+    exact pool's recall closely."""
+    ds, arrays, ctx, q_comps, q_vals, gt_i = setup
+    dev = arrays.to_device(pallas_tiles=True)
+    base = GroupedParams(k=10, score_cut=64, pool=64, rescore=32,
+                         compute_dtype="i8", pool_mode="exact")
+    hier = GroupedParams(k=10, score_cut=64, pool=64, rescore=32,
+                         compute_dtype="i8", pool_mode="hier")
+    s_e, i_e = search_grouped(dev, ctx, q_comps, q_vals, base,
+                              query_cut=10)
+    s_h, i_h = search_grouped(dev, ctx, q_comps, q_vals, hier,
+                              query_cut=10)
+    assert _recall(i_h, gt_i) >= _recall(i_e, gt_i) - 0.03
