@@ -151,3 +151,72 @@ def test_dataset_exact_search_and_convert(toy_documents_path):
     res = idx.search("q", qc, qv, k=3, query_cut=30, heap_factor=0.0)
     assert res[0][2] == str(rec["id"])
     assert idx.get_doc_text(0) == ds.get_doc_text(0)
+
+
+def test_api_grouped_path_with_knn(toy_documents_path):
+    """API batch_search with n_knn through the grouped fast path (the
+    auto-selected TPU route, forced here in interpret mode): exercises
+    the rescore-based kNN refinement end to end."""
+    import json
+
+    import numpy as np
+
+    from seismic_tpu import SeismicDataset, SeismicIndex
+
+    index = SeismicIndex.build(toy_documents_path)
+    index.build_knn(4)
+    index._use_pallas = True  # grouped path (interpret mode on CPU)
+    queries = [json.loads(l) for l in open(toy_documents_path)][:4]
+    qids = np.array([str(q["id"]) for q in queries], dtype="U30")
+    qc = [np.array(list(q["vector"].keys()), dtype="U30") for q in queries]
+    qv = [
+        np.array(list(q["vector"].values()), dtype=np.float32)
+        for q in queries
+    ]
+    res = index.batch_search(qids, qc, qv, k=3, query_cut=10,
+                             heap_factor=0.0, n_knn=4)
+    # self-retrieval: each document queried with itself must return itself
+    for row, qid in zip(res, qids):
+        assert row, qid
+        assert row[0][2] == qid
+
+
+def test_api_u16_index_search(tmp_path):
+    """fixedu16 value storage searched through the engine path returns
+    near-exact scores."""
+    import numpy as np
+
+    from seismic_tpu.build.builder import build_index
+    from seismic_tpu.config import Configuration, TpuLayout
+    from seismic_tpu.search.engine import SearchParams, pad_queries, search_batch
+    from seismic_tpu.search.exact import exact_search_numpy
+    from tests.conftest import make_random_dataset, make_random_queries
+
+    rng = np.random.default_rng(7)
+    ds = make_random_dataset(rng, n_docs=300, dim=400, min_nnz=10,
+                             max_nnz=30, seed=13)
+    cfg = Configuration(layout=TpuLayout(max_block_len=16,
+                                         summary_vocab_cap=256))
+    arrays = build_index(ds, cfg, value_dtype="u16")
+    assert arrays.fwd_vals.dtype == np.uint16
+    qc, qv = make_random_queries(np.random.default_rng(8), n_queries=8,
+                                 dim=400, min_nnz=6, max_nnz=20)
+    q_comps, q_vals = pad_queries(qc, qv, 64)
+    dev = arrays.to_device()
+    params = SearchParams(k=10, query_cut=10, block_budget=0,
+                          block_mode="dense", doc_mode="gather")
+    s, i = search_batch(dev, q_comps, q_vals, params, heap_factor=0.0)
+    s_gt, i_gt = exact_search_numpy(ds, q_comps, q_vals, k=10)
+    hits = sum(
+        len(set(map(int, a[a >= 0])) & set(map(int, b[b >= 0])))
+        for a, b in zip(i, i_gt)
+    )
+    assert hits / (len(i) * 10) >= 0.9
+    # u16 quantization error is tiny
+    for b in range(4):
+        gt_map = {int(d): float(v) for v, d in zip(s_gt[b], i_gt[b])}
+        for v, d in zip(s[b], i[b]):
+            if int(d) in gt_map:
+                assert abs(float(v) - gt_map[int(d)]) < 2e-3 * max(
+                    1, abs(gt_map[int(d)])
+                )
