@@ -447,11 +447,22 @@ def _grouped_impl(
             qcT = jnp.pad(qcT, ((0, 0), (0, P_cap - P)),
                           constant_values=PAD_COMPONENT)
             qvT = jnp.pad(qvT, ((0, 0), (0, P_cap - P)))
-        qloc_pairs = project_qloc_pallas(
+        qlocT = project_qloc_pallas(
             vocabT, qcT, qvT, sc, interpret=interpret
-        ).T[:P]  # [P, V]
+        )  # [V, P_cap] lane-major
+        if params.compute_dtype == "i8":
+            # quantize LANE-MAJOR (per-pair = per-lane amax over
+            # sublanes), then transpose the int8 array: a 4x cheaper
+            # relayout than transposing the f32 projection first
+            amaxT = jnp.max(jnp.abs(qlocT), axis=0, keepdims=True)
+            qscaleT = jnp.maximum(amaxT, 1e-20) / 127.0  # [1, P_cap]
+            q_i8 = jnp.round(qlocT / qscaleT).astype(jnp.int8).T[:P]
+            qloc_pairs = None
+            pair_scale = qscaleT[0, : B * QC]
+        else:
+            qloc_pairs = qlocT.T[:P]  # [P, V]
         if params.stop_after == "qloc":
-            return qloc_pairs, qloc_pairs
+            return qlocT, qlocT
     else:
         from .engine import _qloc_compare
 
@@ -459,19 +470,18 @@ def _grouped_impl(
         qloc_pairs = _qloc_compare(vocab, q_comps, qv, sc).reshape(
             B * QC, V
         )
+        if params.compute_dtype == "i8":
+            amax = jnp.max(jnp.abs(qloc_pairs), axis=-1, keepdims=True)
+            qscale_pairs = jnp.maximum(amax, 1e-20) / 127.0  # [P, 1]
+            q_i8 = jnp.round(qloc_pairs / qscale_pairs).astype(jnp.int8)
+            pair_scale = qscale_pairs[: B * QC, 0]
 
     if params.compute_dtype == "i8":
-        # quantize each pair's projection to int8 (symmetric, per-pair
-        # scale); the kernel runs an i8 x i8 -> i32 MXU matmul (2x bf16
-        # rate) and the scale is re-applied per pair in the regroup below.
+        # the kernel runs an i8 x i8 -> i32 MXU matmul (2x bf16 rate);
+        # the per-pair scale is re-applied in the regroup below.
         # Expansion traffic drops 4x vs f32 qloc.
-        amax = jnp.max(jnp.abs(qloc_pairs), axis=-1, keepdims=True)
-        qscale_pairs = jnp.maximum(amax, 1e-20) / 127.0  # [P, 1]
-        q_i8 = jnp.round(qloc_pairs / qscale_pairs).astype(jnp.int8)
         qloc = q_i8[plan.slot_pair].reshape(G_cap, M, V)
         qsum = None
-        # qloc_pairs rows are already in (b, qc) pair order
-        pair_scale = qscale_pairs[: B * QC, 0]
     else:
         qloc = qloc_pairs[plan.slot_pair].reshape(G_cap, M, V)
         # lane-replicated 128 * sum_v qloc for the centered-tile correction
