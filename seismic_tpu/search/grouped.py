@@ -271,6 +271,7 @@ def derive_plan_device(
     G_cap: int,
     W_cap: int,
     zero_region: int,  # SUPER-tile units (PlannerContext.zero_region)
+    weighted: bool = False,
 ) -> "_PlanView":
     """Build the grouped plan ON DEVICE (sorts + scans + scatters, ~1 ms),
     replacing the host plan upload: the host's only job is supplying the
@@ -286,8 +287,21 @@ def derive_plan_device(
 
     valid_q = q_comps != PAD_COMPONENT
     qv = jnp.where(valid_q, q_vals, 0.0)
+    if weighted:
+        # weighted cut: rank candidate lists by value * per-list max
+        # posting value — measured to buy ~one query_cut step of
+        # reachability over the reference's plain value top-k
+        okc = valid_q & (q_comps >= 0) & (q_comps < n_lists)
+        wsel = jnp.where(
+            okc,
+            index.list_weight[jnp.clip(q_comps, 0, n_lists - 1)], 0.0
+        )
+        sel_score = qv * wsel
+    else:
+        sel_score = qv
     if QC < Q:
-        top_v, top_p = jax.lax.top_k(qv, QC)
+        _, top_p = jax.lax.top_k(sel_score, QC)
+        top_v = jnp.take_along_axis(qv, top_p, axis=1)
         lids = jnp.take_along_axis(q_comps, top_p, axis=1)
     else:
         top_v, lids = qv, q_comps
@@ -681,27 +695,45 @@ def search_grouped_jit(index, plan, q_comps, q_vals, params):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "params", "query_cut", "M", "G_cap", "W_cap", "zero_region"
+        "params", "query_cut", "M", "G_cap", "W_cap", "zero_region",
+        "weighted",
     ),
 )
 def search_grouped_derive_jit(
-    index, q_comps, q_vals, params, query_cut, M, G_cap, W_cap, zero_region
+    index, q_comps, q_vals, params, query_cut, M, G_cap, W_cap,
+    zero_region, weighted=False,
 ):
     """One fused program: device-side plan derivation + grouped search.
     Only the queries cross host->device; the host supplies G_cap/W_cap
     (static, bucketed — from the native planner's counts, which run
     overlapped with the previous batch)."""
     plan = derive_plan_device(
-        index, q_comps, q_vals, query_cut, M, G_cap, W_cap, zero_region
+        index, q_comps, q_vals, query_cut, M, G_cap, W_cap, zero_region,
+        weighted=weighted,
     )
     return _grouped_impl(index, plan, q_comps, q_vals, params)
 
 
-def plan_caps(q_comps, q_vals, ctx, query_cut: int, M: int = 8):
+def plan_caps(q_comps, q_vals, ctx, query_cut: int, M: int = 8,
+              weighted: bool = False):
     """Host-side (G_cap, W_cap) for the device-derived plan — exact G/W
-    from the native planner, rounded to jit-stable buckets."""
-    from .planner import _round_up, plan_grouped
+    from the native planner, rounded to jit-stable buckets. With
+    `weighted`, the same value * list-weight selection as
+    derive_plan_device (the selections must match for the caps to be
+    exact)."""
+    from .planner import plan_grouped
 
+    if weighted:
+        if ctx.list_weight is None:
+            raise ValueError("weighted caps need ctx.list_weight")
+        q_comps = np.asarray(q_comps)
+        w = np.where(
+            (q_comps >= 0) & (q_comps < ctx.n_lists),
+            ctx.list_weight[np.clip(q_comps, 0, ctx.n_lists - 1)], 0.0,
+        )
+        # scale values so the native planner's top-QC picks the weighted
+        # order; validity checks (v > 0) are preserved because w >= 0
+        q_vals = np.asarray(q_vals) * w
     p = plan_grouped(q_comps, q_vals, ctx, query_cut, M=M)
     return p.G_cap, p.W_cap
 

@@ -45,6 +45,9 @@ class PlannerContext:
     zero_region: int  # SUPER-tile index of an all-zero tile region
     # subtiles per work item (must match the DeviceIndex aligned layout)
     csub: int = 1
+    # per-list max posting value (weighted-cut selection); None if the
+    # index has no doc tiles
+    list_weight: object = None
 
     @staticmethod
     def from_arrays(arrays, region_start=None, csub: int = 1):
@@ -71,6 +74,15 @@ class PlannerContext:
             n_sub_total + ll_pad_for(arrays.max_list_len, csub) // SUB
         )
         zero_region = total_sub // csub - 1
+        lw = None
+        if arrays.doc_tile_scale is not None:
+            from ..types import _list_weights
+
+            lw = _list_weights(
+                np.asarray(arrays.doc_tile_scale),
+                np.asarray(arrays.list_post_start),
+                np.asarray(arrays.list_len),
+            )
         return PlannerContext(
             list_region_start=np.asarray(region_start, np.int32),
             list_len=np.asarray(arrays.list_len, np.int32),
@@ -79,6 +91,7 @@ class PlannerContext:
             n_docs=arrays.n_docs,
             zero_region=int(zero_region),
             csub=csub,
+            list_weight=lw,
         )
 
 

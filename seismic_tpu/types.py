@@ -337,6 +337,17 @@ class IndexArrays:
 
         extra = {}
         skip = set()
+        if (self.doc_tile_scale is not None
+                and self.list_post_start is not None):
+            # per-list max posting value (u8 code 255 * row scale): the
+            # weighted-cut list selection ranks lists by
+            # query_value * list_weight instead of value alone
+            lw = _list_weights(
+                np.asarray(self.doc_tile_scale),
+                np.asarray(self.list_post_start),
+                np.asarray(self.list_len),
+            )
+            extra["list_weight"] = put(lw)
         if pallas_tiles and (self.doc_tiles is not None
                              or _aligned is not None):
             if _aligned is not None:
@@ -347,7 +358,7 @@ class IndexArrays:
                 tiles_i8, scale3d, region_start = prepare_pallas_tiles(
                     self, tile_csub
                 )
-            extra = dict(
+            extra.update(
                 doc_tiles_aligned=put(tiles_i8),
                 tile_scale3d=put(scale3d),
                 list_region_start=put(region_start),
@@ -419,6 +430,8 @@ class DeviceIndex:
     # per-super-tile upper-bound summaries (streaming-budget mode)
     super_summary: object = None
     super_scale: object = None
+    # per-list max posting value (weighted-cut list selection)
+    list_weight: object = None
     dim: int = 0
     n_docs: int = 0
     max_blocks_per_list: int = 0
@@ -426,6 +439,21 @@ class DeviceIndex:
     max_list_len: int = 0
     # subtiles per grouped-scorer work item (aligned-layout granularity)
     tile_csub: int = 1
+
+
+def _list_weights(doc_tile_scale, list_post_start, list_len):
+    """f32 [n_lists]: max posting value per list (code 255 * row scale).
+    The packed tile layout stores non-empty lists contiguously, so one
+    np.maximum.reduceat over their starts covers each list's rows (the
+    final segment extends into the zero tail, which cannot raise a max)."""
+    n_lists = len(list_post_start)
+    w = np.zeros(n_lists, np.float32)
+    starts = list_post_start.astype(np.int64)
+    nz_idx = np.flatnonzero(list_len > 0)
+    if len(nz_idx):
+        red = np.maximum.reduceat(doc_tile_scale, starts[nz_idx])
+        w[nz_idx] = red * 255.0
+    return w
 
 
 def _register_device_index():

@@ -359,3 +359,33 @@ def test_pool_mode_hier(setup):
     s_h, i_h = search_grouped(dev, ctx, q_comps, q_vals, hier,
                               query_cut=10)
     assert _recall(i_h, gt_i) >= _recall(i_e, gt_i) - 0.03
+
+
+def test_weighted_cut(setup):
+    """Weighted list selection (value * per-list max posting value) must
+    run through derive with host caps matching, and keep recall at or
+    above the plain cut at equal query_cut."""
+    import jax.numpy as jnp
+
+    from seismic_tpu.search.grouped import (
+        plan_caps,
+        search_grouped_derive_jit,
+    )
+
+    ds, arrays, ctx, q_comps, q_vals, gt_i = setup
+    dev = arrays.to_device(pallas_tiles=True)
+    assert ctx.list_weight is not None and dev.list_weight is not None
+    gp = GroupedParams(k=10, score_cut=64, pool=64, rescore=32,
+                       compute_dtype="i8")
+    qd = jnp.asarray(q_comps, jnp.int32)
+    vd = jnp.asarray(q_vals, jnp.float32)
+    rs = {}
+    for weighted in (False, True):
+        gc, wc = plan_caps(q_comps, q_vals, ctx, 8, M=8,
+                           weighted=weighted)
+        s, i = search_grouped_derive_jit(
+            dev, qd, vd, gp, 8, 8, gc, wc, ctx.zero_region,
+            weighted=weighted,
+        )
+        rs[weighted] = _recall(np.asarray(i), gt_i)
+    assert rs[True] >= rs[False] - 0.02, rs
