@@ -255,10 +255,15 @@ class _IndexBase:
         # list's doc tiles stream once per group. It realizes the
         # heap_factor -> 0 exhaustive-scan limit over the selected lists,
         # so it serves full_lists requests and heap_factor == 0 requests.
+        # Caller-supplied block/cand budgets are honored only by the engine
+        # path (its top_k cutoffs), so a request that sets them falls
+        # through rather than silently dropping the budget.
         if (
             params.doc_mode == "tiles"
             and getattr(self, "_use_pallas", False)
             and (full_lists or heap_factor <= 0.0)
+            and block_budget is None
+            and cand_budget is None
         ):
             from .search.grouped import (
                 DevicePlan,
@@ -269,14 +274,18 @@ class _IndexBase:
 
             import jax.numpy as jnp
 
-            # tuned round-2 operating point: int8 MXU matmul + exact
-            # rescore of the top pool (returned scores are exact dot
-            # products, like the reference's) + approximate pool select
+            # tuned operating point: int8 MXU matmul + exact rescore of
+            # the top pool (returned scores are exact dot products over
+            # the query's top `score_cut` terms) + exact pool select
+            # (lax.top_k — the caller asked for exhaustive-scan semantics;
+            # the cheaper approx pool stays reachable via GroupedParams).
+            # Pool and rescore set scale with k (the engine path uses
+            # max(8k, 64); rescore >= 2k keeps the final top_k(k) valid).
             gp = GroupedParams(
                 k=k, score_cut=score_cut,
-                pool=params.dedup_pool or 64, n_knn=n_knn,
+                pool=max(params.dedup_pool, 8 * k, 64), n_knn=n_knn,
                 compute_dtype="i8", rescore=max(48, 2 * k),
-                pool_mode="approx",
+                pool_mode="exact",
             )
             plan = plan_grouped(
                 q_comps, q_vals, self._grouped_ctx(), params.query_cut

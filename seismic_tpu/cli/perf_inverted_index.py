@@ -133,7 +133,8 @@ def main(argv=None) -> int:
 
         ctx = PlannerContext.from_arrays(arrays, csub=2)
         gp = GroupedParams(
-            k=args.k, score_cut=64, pool=64, rescore=max(48, 2 * args.k),
+            k=args.k, score_cut=64, pool=max(8 * args.k, 64),
+            rescore=max(48, 2 * args.k),
             compute_dtype="i8", pool_mode="approx", n_knn=args.n_knn,
         )
 

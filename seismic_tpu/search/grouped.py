@@ -528,9 +528,15 @@ def _grouped_impl(
         qg = qloc[work_g].astype(jnp.bfloat16)  # [W_cap, M, V]
         # padding items point at the all-zero tail region: ub = 0 ->
         # priority 0, naturally below every useful item
-        pr = jnp.einsum(
+        pr_wm = jnp.einsum(
             "wmv,wv->wm", qg, ub, preferred_element_type=jnp.float32
-        ).max(axis=1) * index.super_scale[work_region]
+        )  # [W_cap, M]
+        if pair_scale is not None:
+            # i8 qloc is in per-pair quantized units; re-apply each slot's
+            # scale so priorities are comparable across pairs in a group
+            slot_scale = pair_scale[plan.slot_pair].reshape(G_cap, M)
+            pr_wm = pr_wm * slot_scale[work_g]
+        pr = pr_wm.max(axis=1) * index.super_scale[work_region]
         Wb = max(128, int(round(params.stream_frac * W_cap)))
         Wb = min(Wb, W_cap)
         _, keep = jax.lax.top_k(pr, Wb)

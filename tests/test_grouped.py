@@ -95,6 +95,7 @@ def test_planner_invariants(setup):
     assert (plan.work_region[plan.W:] == ctx.zero_region).all()
 
 
+@pytest.mark.slow
 def test_grouped_matches_tiles_path(setup):
     ds, arrays, ctx, q_comps, q_vals, gt_i = setup
     dev = arrays.to_device(pallas_tiles=True)
@@ -129,6 +130,7 @@ def test_grouped_matches_tiles_path(setup):
     assert float(rel.max()) < 5e-3
 
 
+@pytest.mark.slow
 def test_grouped_no_duplicates_and_sorted(setup):
     _, arrays, ctx, q_comps, q_vals, _ = setup
     dev = arrays.to_device(pallas_tiles=True)
@@ -142,6 +144,7 @@ def test_grouped_no_duplicates_and_sorted(setup):
         assert (np.diff(fin) <= 1e-6).all()
 
 
+@pytest.mark.slow
 def test_grouped_various_m_and_qc(setup):
     _, arrays, ctx, q_comps, q_vals, gt_i = setup
     dev = arrays.to_device(pallas_tiles=True)
@@ -157,6 +160,7 @@ def test_grouped_various_m_and_qc(setup):
             assert r > 0.5
 
 
+@pytest.mark.slow
 def test_grouped_rescore_exact_scores(setup):
     """rescore>0 must return EXACT dot products for the returned docs
     (removes tile quantization + vocab truncation error entirely)."""
@@ -180,6 +184,7 @@ def test_grouped_rescore_exact_scores(setup):
     assert checked > 50
 
 
+@pytest.mark.slow
 def test_grouped_rescore_knn_refine(setup):
     """n_knn>0 with rescore uses the compare-kernel refinement and must
     not lose recall vs no refinement."""
@@ -198,6 +203,7 @@ def test_grouped_rescore_knn_refine(setup):
     arrays.knn = None
 
 
+@pytest.mark.slow
 def test_grouped_i8_mode(setup):
     """int8 MXU mode: per-pair symmetric qloc quantization applied in the
     regroup stage must track the bf16 path closely (the i8 rounding error
@@ -223,6 +229,7 @@ def test_grouped_i8_mode(setup):
                 )
 
 
+@pytest.mark.slow
 def test_grouped_i8_rescore(setup):
     """i8 ranking + exact rescore returns exact scores."""
     ds, arrays, ctx, q_comps, q_vals, gt_i = setup
@@ -246,6 +253,7 @@ def test_grouped_i8_rescore(setup):
     assert _recall(ids, gt_i) > 0.5
 
 
+@pytest.mark.slow
 def test_grouped_rescore_dedup_post(setup):
     """dedup_mode=post must return unique ids with exact scores."""
     ds, arrays, ctx, q_comps, q_vals, gt_i = setup
@@ -268,6 +276,7 @@ def test_grouped_rescore_dedup_post(setup):
     assert _recall(ids, gt_i) > 0.5
 
 
+@pytest.mark.slow
 def test_grouped_csub2_matches_csub1(setup):
     """csub=2 super-tile layout must reproduce csub=1 results exactly
     (same scores, same ids) — only the DMA granularity changes."""
@@ -291,6 +300,7 @@ def test_grouped_csub2_matches_csub1(setup):
         )
 
 
+@pytest.mark.slow
 def test_device_derived_plan_matches_host(setup):
     """The on-device plan derivation must reproduce the host-planned
     search results exactly (same plan semantics, no plan upload)."""
@@ -324,6 +334,7 @@ def test_device_derived_plan_matches_host(setup):
         assert set(i_h[b].tolist()) == set(i_d[b].tolist())
 
 
+@pytest.mark.slow
 def test_stream_budget_mode(setup):
     """Summary-guided streaming budget: stream_frac < 1 must keep recall
     close to the exhaustive scan (the upper-bound priorities keep the
@@ -345,6 +356,7 @@ def test_stream_budget_mode(setup):
         assert r >= r_full - (0.12 if frac == 0.5 else 0.06)
 
 
+@pytest.mark.slow
 def test_pool_mode_hier(setup):
     """Hierarchical pool (per-pair top-t + exact merge) must track the
     exact pool's recall closely."""
@@ -361,6 +373,7 @@ def test_pool_mode_hier(setup):
     assert _recall(i_h, gt_i) >= _recall(i_e, gt_i) - 0.03
 
 
+@pytest.mark.slow
 def test_weighted_cut(setup):
     """Weighted list selection (value * per-list max posting value) must
     run through derive with host caps matching, and keep recall at or

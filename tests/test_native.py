@@ -104,6 +104,7 @@ def test_fixed_strategies_native(pair):
     )
 
 
+@pytest.mark.slow
 def test_native_planner_matches_numpy_results():
     """The C++ planner must produce search results identical to the NumPy
     planner's (grouping composition may differ; scores/ids must not)."""

@@ -142,6 +142,7 @@ def test_parallel_shard_build_matches_sequential(setup):
     assert np.allclose(sa, sb)
 
 
+@pytest.mark.slow
 def test_sharded_grouped_matches_single():
     """Doc-sharded grouped fast path (per-shard host plans + grouped
     kernel + exact rescore inside shard_map, all-gather merge) must agree
