@@ -41,6 +41,7 @@ def score_grouped_pallas(
     compute_dtype: str = "bf16",
     qsum=None,  # f32 [G_cap, M, 128] lane-replicated 128*sum_v(qloc[g,m,:])
     csub: int = 1,  # subtiles per work item (aligned-layout granularity)
+    pack_idx: bool = False,  # pack (score bits | row index) into int32 out
 ):
     """Returns UNMASKED scores f32 [G_cap, M, ll_max]; blocks not covered
     by a work item hold garbage (caller masks with group_nrows/slot
@@ -71,11 +72,12 @@ def score_grouped_pallas(
         assert qloc.dtype == jnp.int8
         return _score_grouped_i8(
             doc_tiles_i8, tile_scale3d, qloc, work_region, work_g, work_s,
-            ll_max, interpret, csub,
+            ll_max, interpret, csub, pack_idx,
         )
     cdt = jnp.bfloat16 if compute_dtype == "bf16" else jnp.float32
 
     ROWS = csub * SUB
+    pack = _make_pack(ll_max, ROWS) if pack_idx else None
 
     def kernel_fixup(region_ref, g_ref, s_ref, tile_ref, scale_ref,
                      qloc_ref, out_ref):
@@ -89,7 +91,8 @@ def score_grouped_pallas(
             q, t, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [M, ROWS]
-        out_ref[0] = s * scale_ref[0, 0, :][None, :]
+        out = s * scale_ref[0, 0, :][None, :]
+        out_ref[0] = pack(out, s_ref) if pack else out
 
     def kernel_centered(region_ref, g_ref, s_ref, tile_ref, scale_ref,
                         qloc_ref, qsum_ref, out_ref):
@@ -99,7 +102,8 @@ def score_grouped_pallas(
             q, t, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [M, ROWS]
-        out_ref[0] = (s + qsum_ref[0]) * scale_ref[0, 0, :][None, :]
+        out = (s + qsum_ref[0]) * scale_ref[0, 0, :][None, :]
+        out_ref[0] = pack(out, s_ref) if pack else out
 
     in_specs = [
         pl.BlockSpec(
@@ -146,12 +150,40 @@ def score_grouped_pallas(
         ),
     )
 
+    out_dtype = jnp.int32 if pack_idx else jnp.float32
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((G_cap, M, ll_max), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((G_cap, M, ll_max), out_dtype),
         interpret=interpret,
     )(work_region, work_g, work_s, *operands)
+
+
+def _make_pack(ll_max: int, rows: int):
+    """Kernel epilogue: replace the low index bits of each (non-negative)
+    f32 score's bit pattern with the row's position inside the group —
+    integer max over the packed values then selects BOTH the window's best
+    score (to ~2^-14 relative, far below the u8 tile quantization) and its
+    posting offset, so the pooling stage is one reduce_window over int32
+    (no separate argmax pass, no full-width regroup gather)."""
+    import jax
+    import jax.numpy as jnp
+
+    idx_bits = max(1, (ll_max - 1).bit_length())
+    mask = (1 << idx_bits) - 1
+
+    def pack(s, s_ref):
+        import jax.experimental.pallas as pl
+
+        w = pl.program_id(0)
+        bits = jax.lax.bitcast_convert_type(s, jnp.int32)
+        col = (
+            jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            + s_ref[w] * rows
+        )
+        return (bits & jnp.int32(~mask)) | col
+
+    return pack
 
 
 def _score_grouped_i8(
@@ -164,6 +196,7 @@ def _score_grouped_i8(
     ll_max: int,
     interpret: bool,
     csub: int = 1,
+    pack_idx: bool = False,
 ):
     """int8 x int8 -> int32 MXU variant (2x the bf16 rate on v5e; probed in
     harness/microbench_qloc.py). Returns scores in QUANTIZED qloc units —
@@ -179,6 +212,7 @@ def _score_grouped_i8(
     G_cap, M, V = qloc_i8.shape
     W_cap = work_region.shape[0]
     ROWS = csub * SUB
+    pack = _make_pack(ll_max, ROWS) if pack_idx else None
 
     def kernel(region_ref, g_ref, s_ref, tile_ref, scale_ref, qloc_ref,
                out_ref):
@@ -190,7 +224,8 @@ def _score_grouped_i8(
         )  # [M, ROWS] i32
         rowsum = jnp.sum(q.astype(jnp.int32), axis=1, keepdims=True)  # [M,1]
         s = (dot + 128 * rowsum).astype(jnp.float32)
-        out_ref[0] = s * scale_ref[0, 0, :][None, :]
+        out = s * scale_ref[0, 0, :][None, :]
+        out_ref[0] = pack(out, s_ref) if pack else out
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -219,9 +254,10 @@ def _score_grouped_i8(
         ),
     )
 
+    out_dtype = jnp.int32 if pack_idx else jnp.float32
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((G_cap, M, ll_max), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((G_cap, M, ll_max), out_dtype),
         interpret=interpret,
     )(work_region, work_g, work_s, doc_tiles_i8, tile_scale3d, qloc_i8)

@@ -23,13 +23,16 @@ LANES = 128  # pairs per grid step (lane axis width)
 
 
 def project_qloc_pallas(
-    vocabT,  # int32 [V, P_cap] each pair's list vocabulary (transposed)
+    vocabT,  # int32 OR int16 [V, P_cap] each pair's list vocabulary (transposed)
     qcT,  # int32 [SCP, P_cap] query term ids (PAD-padded)
     qvT,  # f32 [SCP, P_cap] query term values (0 at padding)
     sc: int,  # number of real term slots to scan (<= SCP)
     interpret: bool = False,
 ):
-    """Returns qlocT f32 [V, P_cap]."""
+    """Returns qlocT f32 [V, P_cap]. An int16 vocab operand (PAD -> -1)
+    halves the dominant HBM traffic of this stage (the [P, V] vocabulary
+    gather + transpose); it is widened to int32 once per grid step so the
+    compare loop stays in natively-supported int32."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -41,7 +44,7 @@ def project_qloc_pallas(
     assert sc <= SCP
 
     def kernel(vocab_ref, qc_ref, qv_ref, out_ref):
-        vocab = vocab_ref[:]  # [V, LANES]
+        vocab = vocab_ref[:].astype(jnp.int32)  # [V, LANES]
         acc = jnp.zeros((V, LANES), jnp.float32)
         for i in range(sc):  # static unroll: sublane slices are free
             c = qc_ref[i : i + 1, :]  # [1, LANES]

@@ -49,7 +49,7 @@ def score_docs_rowmajor_pallas(
 
     def kernel(qc_ref, qv_ref, comps_ref, vals_ref, out_ref):
         b = pl.program_id(0)
-        c = comps_ref[0]  # [R, W]
+        c = comps_ref[0].astype(jnp.int32)  # [R, W] (widens the i16 twin)
         acc = jnp.zeros((R, W), jnp.float32)
         for i in range(sc):  # static unroll; scalar splat per term
             acc = acc + jnp.where(c == qc_ref[b * SCP + i],
@@ -96,22 +96,30 @@ def rescore_exact(index, doc_ids, top_c, top_v, sc: int,
     n_docs = index.n_docs
     safe = jnp.clip(doc_ids, 0, n_docs - 1)
     flat = safe.reshape(B * R)
-    comps = index.fwd_comps[flat].astype(jnp.int32)  # [B*R, W]
+    if index.fwd_comps16 is not None:
+        # int16 twin (PAD -> -1): halves the row-gather bytes, the
+        # dominant cost of this stage; widened inside the kernel
+        comps = index.fwd_comps16[flat]  # i16 [B*R, W]
+        comps_mask_src = comps >= 0
+    else:
+        comps = index.fwd_comps[flat].astype(jnp.int32)  # [B*R, W]
+        comps_mask_src = comps != PAD_COMPONENT
     vals = _decode_fwd_vals(
-        index, index.fwd_vals[flat], comps, flat
+        index, index.fwd_vals[flat], comps_mask_src, flat
     )  # f32 [B*R, W]
     W = comps.shape[1]
     Wp = -(-W // LANES) * LANES
     Rp = -(-R // 8) * 8
+    padc = -1 if comps.dtype == jnp.int16 else PAD_COMPONENT
     if Wp > W:
         comps = jnp.pad(comps, ((0, 0), (0, Wp - W)),
-                        constant_values=PAD_COMPONENT)
+                        constant_values=padc)
         vals = jnp.pad(vals, ((0, 0), (0, Wp - W)))
     comps = comps.reshape(B, R, Wp)
     vals = vals.reshape(B, R, Wp)
     if Rp > R:
         comps = jnp.pad(comps, ((0, 0), (0, Rp - R), (0, 0)),
-                        constant_values=PAD_COMPONENT)
+                        constant_values=padc)
         vals = jnp.pad(vals, ((0, 0), (0, Rp - R), (0, 0)))
     SCP = -(-sc // 8) * 8
     qc = top_c[:, :sc].astype(jnp.int32)

@@ -112,8 +112,13 @@ def _lookup(qd_row, comps):
 
 
 def _decode_fwd_vals(index: DeviceIndex, tiles_vals, tiles_comps, doc_ids):
-    """Decode gathered forward-value tiles to f32 (handles the u8 variant)."""
-    mask = tiles_comps != PAD_COMPONENT
+    """Decode gathered forward-value tiles to f32 (handles the u8 variant).
+    `tiles_comps` may be the int32 comps (PAD_COMPONENT padded) or a
+    precomputed validity mask (bool)."""
+    if tiles_comps.dtype == jnp.bool_:
+        mask = tiles_comps
+    else:
+        mask = tiles_comps != PAD_COMPONENT
     if index.fwd_val_min is not None:
         mins = index.fwd_val_min[doc_ids]
         steps = index.fwd_val_step[doc_ids]

@@ -80,10 +80,19 @@ class GroupedParams:
     # `pool_recall` on the PADDED row, which overwhelmingly drops tail-of-pool
     # entries, not top-k ones), "exact" = lax.top_k, "hier" = per-(query,
     # list) approx top-`pool_per_pair` then a small exact merge (cheapest;
-    # caps each list's contribution to the pool)
+    # caps each list's contribution to the pool), "slot" = like hier but
+    # stage 1 runs on the KERNEL's slot grid BEFORE regrouping — the
+    # full-width [B*QC, LLMAX] regroup gather shrinks to a [B*QC, t]
+    # gather of already-pooled candidates (round-3 tail cut)
+    # "window" = the round-3 packed-index pool: the scorer kernel packs
+    # each score's bit pattern with its row offset into one int32; pooling
+    # is a single reduce_window max per `pool_window` rows on the SLOT
+    # grid (no full-width regroup gather, no approx_max_k PartialReduce),
+    # then a tiny [B, QC * LLMAX/pool_window] exact merge
     pool_mode: str = "approx"
     pool_recall: float = 0.98
     pool_per_pair: int = 12
+    pool_window: int = 8
     # rescore-path dedup placement: "pre" = sort-dedup the whole pool
     # before picking the rescore set (max unique candidates); "post" =
     # rescore the raw top-`rescore` (dups waste some rescore lanes) and
@@ -442,7 +451,12 @@ def _grouped_impl(
         P = B * QC
         P_cap = -(-P // LANES) * LANES
         pair_list_flat = plan.pair_list.reshape(P)
-        vocabT = index.list_vocab[pair_list_flat].astype(jnp.int32).T
+        if index.vocab16 is not None:
+            # int16 vocab twin: halves the [P, V] gather + transpose bytes
+            # (the qloc chain's dominant cost); widened in-kernel
+            vocabT = index.vocab16[pair_list_flat].T
+        else:
+            vocabT = index.list_vocab[pair_list_flat].astype(jnp.int32).T
         # sublane-pad the term axis to a multiple of 8 (vocab PAD slots can
         # only match qc PAD slots, whose value contribution is 0)
         SCP = -(-sc // 8) * 8
@@ -549,6 +563,7 @@ def _grouped_impl(
         ].set(True, mode="drop")
 
     # ---- grouped tile scoring on the MXU ----
+    pack_idx = params.pool_mode == "window"
     scores = score_grouped_pallas(
         index.doc_tiles_aligned,
         index.tile_scale3d,
@@ -561,13 +576,122 @@ def _grouped_impl(
         compute_dtype=params.compute_dtype,
         qsum=qsum,
         csub=csub,
-    )  # [G_cap, M, LLMAX]
+        pack_idx=pack_idx,
+    )  # [G_cap, M, LLMAX] f32 (or packed int32 when pool_mode="window")
     if params.stop_after == "kernel":
         return scores, scores
 
+    pool = min(params.pool if params.pool > 0 else 8 * k, QC * LLMAX)
+    if pack_idx:
+        # ---- packed-index window pool: one reduce_window on the slot
+        # grid selects each window's best (score, offset); the regroup
+        # then moves only [B*QC, NW] int32 (vs [B*QC, LLMAX] f32) ----
+        if streamed is not None:
+            raise NotImplementedError(
+                "pool_mode='window' with stream_frac < 1 is unsupported"
+            )
+        WP = params.pool_window
+        NW = LLMAX // WP
+        idx_bits = max(1, (LLMAX - 1).bit_length())
+        imask = (1 << idx_bits) - 1
+        wmax = jax.lax.reduce_window(
+            scores,
+            jnp.int32(-(2**31) + 1),
+            jax.lax.max,
+            (1, 1, WP),
+            (1, 1, WP),
+            "VALID",
+        )  # [G_cap, M, NW] packed int32
+        pw = wmax.reshape(G_cap * M, NW)[
+            plan.pair_slot.reshape(B * QC)
+        ].reshape(B, QC, NW)
+        off = pw & jnp.int32(imask)
+        val = jax.lax.bitcast_convert_type(
+            pw & jnp.int32(~imask), jnp.float32
+        )
+        if pair_scale is not None:
+            val = val * pair_scale.reshape(B, QC, 1)
+        # garbage windows (rows past the list / uninitialized kernel
+        # cells) surface offsets >= the pair's list length — one mask
+        # replaces the pre-pool full-width row masking
+        ok = plan.pair_valid[:, :, None] & (off < plan.pair_len[:, :, None])
+        val = jnp.where(ok, val, -jnp.inf)
+        if params.stop_after == "regroup":
+            return val, val
+        gsel = (
+            jnp.arange(QC, dtype=jnp.int32)[None, :, None] * LLMAX + off
+        ).reshape(B, QC * NW)
+        pool = min(pool, QC * NW)
+        top_scores, p1 = jax.lax.top_k(val.reshape(B, QC * NW), pool)
+        sel = jnp.take_along_axis(gsel, p1, axis=1)
+        qc_slot = sel // LLMAX
+        offp = sel % LLMAX
+        post_sel = (
+            jnp.take_along_axis(plan.pair_pstart, qc_slot, axis=1) + offp
+        )
+        safe_post = jnp.clip(post_sel, 0, index.postings.shape[0] - 1)
+        cand_ids = jnp.take(index.postings, safe_post)
+        cand_ids = jnp.where(jnp.isfinite(top_scores), cand_ids, n_docs)
+        if params.stop_after == "pool":
+            return top_scores, cand_ids
+        return _grouped_tail(
+            index, params, q_comps, qv, top_c, top_v, sc,
+            top_scores, cand_ids, safe_post, pool, interpret,
+        )
+
+    if params.pool_mode == "slot":
+        # ---- pool on the kernel's slot grid, THEN regroup (tiny) ----
+        # stage 1 (approx top-t per slot row) runs before the regroup, so
+        # the [B*QC, LLMAX] full-width gather shrinks to [B*QC, t]. Rows
+        # beyond the group's list length (or outside the streamed budget)
+        # are masked on the slot grid; per-pair scale (i8) is re-applied
+        # after the gather (monotone within a row, so stage-1 selection
+        # commutes with it).
+        t = min(params.pool_per_pair, LLMAX)
+        rows = jnp.arange(LLMAX, dtype=jnp.int32)
+        rows_ok_slot = rows[None, :] < plan.group_nrows[:, None]
+        if streamed is not None:
+            rows_ok_slot &= jnp.repeat(streamed, csub * 128, axis=-1)
+        slot_ok = plan.slot_b < B  # [G_cap, M]
+        m3 = rows_ok_slot[:, None, :] & slot_ok[:, :, None]
+        sl = jnp.where(m3, scores.astype(jnp.float32), -jnp.inf).reshape(
+            G_cap * M, LLMAX
+        )
+        v1, i1 = jax.lax.approx_max_k(
+            sl, t, recall_target=params.pool_recall
+        )
+        ps = plan.pair_slot.reshape(B * QC)
+        v1p = v1[ps].reshape(B, QC, t)
+        i1p = i1[ps].reshape(B, QC, t)
+        if pair_scale is not None:
+            v1p = v1p * pair_scale.reshape(B, QC, 1)
+        v1p = jnp.where(plan.pair_valid[..., None], v1p, -jnp.inf)
+        gsel = (
+            jnp.arange(QC, dtype=jnp.int32)[None, :, None] * LLMAX + i1p
+        ).reshape(B, QC * t)
+        if params.stop_after == "regroup":
+            return v1p, v1p
+        pool = min(pool, QC * t)
+        top_scores, p1 = jax.lax.top_k(v1p.reshape(B, QC * t), pool)
+        sel = jnp.take_along_axis(gsel, p1, axis=1)
+        qc_slot = sel // LLMAX
+        off = sel % LLMAX
+        post_sel = (
+            jnp.take_along_axis(plan.pair_pstart, qc_slot, axis=1) + off
+        )
+        safe_post = jnp.clip(post_sel, 0, index.postings.shape[0] - 1)
+        cand_ids = jnp.take(index.postings, safe_post)
+        cand_ids = jnp.where(jnp.isfinite(top_scores), cand_ids, n_docs)
+        if params.stop_after == "pool":
+            return top_scores, cand_ids
+        return _grouped_tail(
+            index, params, q_comps, qv, top_c, top_v, sc,
+            top_scores, cand_ids, safe_post, pool, interpret,
+        )
+
     # ---- regroup score rows to query order (wide-row gather: HBM-speed
     # on this device) and pool per query, exactly like the round-1 tail ----
-    pv = scores.reshape(G_cap * M, LLMAX)[
+    pv = scores.astype(jnp.float32).reshape(G_cap * M, LLMAX)[
         plan.pair_slot.reshape(B * QC)
     ].reshape(B, QC, LLMAX)
     if pair_scale is not None:
@@ -587,7 +711,6 @@ def _grouped_impl(
         return pv, pv
 
     # ---- per-query pool + dedup + overflow re-rank + top-k ----
-    pool = min(params.pool if params.pool > 0 else 8 * k, QC * LLMAX)
     if params.pool_mode == "hier":
         # stage 1: top-t per (query, list) row — approx_max_k with small k
         # is much cheaper than one wide pass; stage 2: tiny exact merge
@@ -618,6 +741,22 @@ def _grouped_impl(
     cand_ids = jnp.where(jnp.isfinite(top_scores), cand_ids, n_docs)
     if params.stop_after == "pool":
         return top_scores, cand_ids
+    return _grouped_tail(
+        index, params, q_comps, qv, top_c, top_v, sc,
+        top_scores, cand_ids, safe_post, pool, interpret,
+    )
+
+
+def _grouped_tail(
+    index, params, q_comps, qv, top_c, top_v, sc,
+    top_scores, cand_ids, safe_post, pool, interpret,
+):
+    """Shared post-pool tail: exact rescore (or overflow re-rank), dedup,
+    k-NN refinement, final top-k."""
+    from .engine import _dedup_by_id, _knn_refine, densify_query_batch
+
+    k = params.k
+    n_docs = index.n_docs
 
     if params.rescore > 0:
         from ..ops.pallas_rescore import rescore_exact

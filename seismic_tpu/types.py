@@ -337,6 +337,21 @@ class IndexArrays:
 
         extra = {}
         skip = set()
+        if pallas_tiles and self.dim <= 32766:
+            # int16 twins of the gather-heavy id arrays (PAD -> -1): the
+            # grouped path's vocab + forward-row gathers run at ~25 GB/s
+            # effective on this device, so halving their bytes halves two
+            # of the three dominant tail stages (round-3 profile_r3).
+            if self.list_vocab is not None:
+                lv = np.asarray(self.list_vocab)
+                extra["vocab16"] = put(
+                    np.where(lv == PAD_COMPONENT, -1, lv).astype(np.int16)
+                )
+            if self.fwd_comps is not None:
+                fc = np.asarray(self.fwd_comps)
+                extra["fwd_comps16"] = put(
+                    np.where(fc == PAD_COMPONENT, -1, fc).astype(np.int16)
+                )
         if (self.doc_tile_scale is not None
                 and self.list_post_start is not None):
             # per-list max posting value (u8 code 255 * row scale): the
@@ -430,6 +445,10 @@ class DeviceIndex:
     # per-super-tile upper-bound summaries (streaming-budget mode)
     super_summary: object = None
     super_scale: object = None
+    # int16 twins (PAD -> -1) of list_vocab / fwd_comps for the grouped
+    # path's bandwidth-bound gathers (present when dim <= 32766)
+    vocab16: object = None
+    fwd_comps16: object = None
     # per-list max posting value (weighted-cut list selection)
     list_weight: object = None
     dim: int = 0

@@ -374,6 +374,47 @@ def test_pool_mode_hier(setup):
 
 
 @pytest.mark.slow
+def test_pool_mode_slot_and_window(setup):
+    """Round-3 tail-cut pools: "slot" (pool on the kernel slot grid before
+    the regroup) must track the exact pool; "window" (packed score|index
+    reduce_window) caps each pair to LLMAX/pool_window candidates, so on
+    this tiny index (short lists) only exactness of the returned scores is
+    asserted — its recall story is bench-shape territory."""
+    ds, arrays, ctx, q_comps, q_vals, gt_i = setup
+    dev = arrays.to_device(pallas_tiles=True)
+    base = GroupedParams(k=10, score_cut=64, pool=128, rescore=48,
+                         pool_mode="exact")
+    s_b, i_b = search_grouped(dev, ctx, q_comps, q_vals, base, query_cut=10)
+    r_b = _recall(i_b, gt_i)
+
+    for dt in ("bf16", "i8"):
+        slot = GroupedParams(k=10, score_cut=64, pool=128, rescore=48,
+                             pool_mode="slot", compute_dtype=dt)
+        _, i_s = search_grouped(dev, ctx, q_comps, q_vals, slot,
+                                query_cut=10)
+        assert _recall(i_s, gt_i) >= r_b - 0.02, dt
+
+    s_gt, i_gt = exact_search_numpy(ds, q_comps, q_vals, k=50)
+    exact_of = [
+        {int(i): float(s) for s, i in zip(srow, irow)}
+        for srow, irow in zip(s_gt, i_gt)
+    ]
+    win = GroupedParams(k=10, score_cut=64, pool=128, rescore=48,
+                        pool_mode="window")
+    s_w, i_w = search_grouped(dev, ctx, q_comps, q_vals, win, query_cut=10)
+    checked = 0
+    for b in range(len(i_w)):
+        for s, d in zip(s_w[b], i_w[b]):
+            if d >= 0 and int(d) in exact_of[b]:
+                assert abs(float(s) - exact_of[b][int(d)]) < 1e-3
+                checked += 1
+    assert checked > 50
+    # docs the window pool does return are no worse than random: the
+    # packed-index max is the window's true best row
+    assert _recall(i_w, gt_i) >= 0.5
+
+
+@pytest.mark.slow
 def test_weighted_cut(setup):
     """Weighted list selection (value * per-list max posting value) must
     run through derive with host caps matching, and keep recall at or
