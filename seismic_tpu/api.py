@@ -63,6 +63,11 @@ class _IndexBase:
 
     _component_cap = _U32_CAP
     _value_dtype = "f16"
+    # class-level build/search shape: the DotVByte variant disables the
+    # replicated doc-tile fast path and defaults to the compressed
+    # exact-rescore doc mode (reference memory story, dotvbyte.rs)
+    _store_doc_tiles = True
+    _default_doc_mode: Optional[str] = None
 
     def __init__(
         self,
@@ -193,9 +198,13 @@ class _IndexBase:
             else:
                 block_mode = "sketch"
         if doc_mode is None:
-            doc_mode = (
-                "tiles" if self._arrays.doc_tiles is not None else "gather"
-            )
+            if self._default_doc_mode is not None:
+                doc_mode = self._default_doc_mode
+            else:
+                doc_mode = (
+                    "tiles" if self._arrays.doc_tiles is not None
+                    else "gather"
+                )
         self._device_index()  # resolves self._use_pallas
         if block_budget is None:
             block_budget = max(4 * k, 64)
@@ -329,6 +338,19 @@ class _IndexBase:
     def load_knn(self, path: str, nknn: Optional[int] = None) -> None:
         self._arrays.knn = knn_mod.load_knn(path, nknn)
         self._invalidate_device()
+
+    def convert(self, value_dtype: str) -> "_IndexBase":
+        """Re-encode the built forward index's values in ``value_dtype``
+        ("f32"/"f16"/"bf16"/"u8"/"u16", fixedu* aliases accepted) without
+        re-running the build pipeline (reference: ConvertFrom,
+        src/inverted_index.rs:237-284; the fixedu8 CLI build is an f32
+        build followed by this pass,
+        src/bin/build_inverted_index.rs:278-286). Returns self."""
+        from .build.convert import convert_index
+
+        self._arrays = convert_index(self._arrays, value_dtype)
+        self._invalidate_device()
+        return self
 
     # ------------------------------------------------------------ save/load
     def save(self, path: str) -> str:
@@ -480,6 +502,7 @@ class SeismicIndex(_IndexBase):
             dataset,
             config,
             value_dtype=cls._value_dtype,
+            store_doc_tiles=cls._store_doc_tiles,
             progress=progress,
         )
         index = cls(arrays, doc_ids, token_to_id, contents)
@@ -639,7 +662,8 @@ class SeismicIndexRaw(_IndexBase):
 
         config = config or Configuration()
         arrays = build_index(
-            dataset, config, value_dtype=cls._value_dtype, progress=progress
+            dataset, config, value_dtype=cls._value_dtype,
+            store_doc_tiles=cls._store_doc_tiles, progress=progress,
         )
         index = cls(arrays)
         if config.knn.knn_path:
@@ -718,10 +742,19 @@ class SeismicIndexRawLV(SeismicIndexRaw):
 class SeismicIndexDotVByte(SeismicIndex):
     """Memory-compressed variant: u8 forward-index values with per-doc
     (min, step) dequantization inside the scoring kernel
-    (reference: src/pylib/dotvbyte.rs:32-426, ECIR'26)."""
+    (reference: src/pylib/dotvbyte.rs:32-426, ECIR'26).
+
+    Unlike the other classes this one does NOT build the replicated
+    doc-tile fast path — its whole point is the memory budget — and
+    searches in the exact-rescore doc mode (block summaries select, the
+    Pallas rescore kernel exact-scores survivors from the compressed
+    forward index; the reference's evaluate_posting_block economics,
+    posting_list.rs:188-215)."""
 
     _component_cap = _U16_CAP
     _value_dtype = "u8"
+    _store_doc_tiles = False
+    _default_doc_mode = "rescore"
 
     def build_knn(self, nknn: int, batch_size: int = 256) -> None:
         # Parity with the reference, which cannot build graphs on compressed

@@ -154,7 +154,12 @@ def query_execution(
 
 
 def evaluate_run(config: dict, run_path: str) -> dict:
-    from .evaluate import accuracy_at_k, mrr_at_k, read_qrels, read_run_tsv
+    from .evaluate import (
+        accuracy_at_k,
+        compute_metric,
+        read_qrels,
+        read_run_tsv,
+    )
 
     folder = config["folder"]
     filename = config.get("filename", {})
@@ -169,8 +174,11 @@ def evaluate_run(config: dict, run_path: str) -> dict:
     qrels_name = filename.get("qrels")
     if qrels_name:
         qrels = read_qrels(os.path.join(folder["data"], qrels_name))
-        out["metric"] = mrr_at_k(run, qrels, k)
-        out["metric_name"] = settings.get("metric", f"RR@{k}")
+        # arbitrary ir_measures-style metric string from the TOML
+        # (reference: run_experiments.py:242-284)
+        metric_name = settings.get("metric", f"RR@{k}")
+        out["metric"] = compute_metric(run, qrels, metric_name)
+        out["metric_name"] = metric_name
     return out
 
 

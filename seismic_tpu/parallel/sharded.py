@@ -381,43 +381,69 @@ class ShardedIndex:
         gp,  # GroupedParams
         query_cut: int = 10,
         M: int = 8,
+        plan_workers: int = 0,
     ):
         """Multi-chip search on the grouped (list-major) fast path: one
-        host plan per shard (each shard has its own posting lists), packed
-        plans stacked over the "docs" axis, per-shard grouped kernel +
-        exact rescore inside shard_map, all-gather top-k merge.
+        host plan per (query-shard, doc-shard) cell (each doc shard has
+        its own posting lists), packed plans laid out over the
+        ("data", "docs") mesh, per-shard grouped kernel + exact rescore
+        inside shard_map, all-gather top-k merge over "docs".
 
-        Pure document sharding (the "data" axis must be 1); wrap at the
-        process level for query data-parallelism."""
+        The query batch shards over the "data" axis (its size must divide
+        the batch); plans for all cells are computed concurrently in a
+        thread pool (the C++ planner releases the GIL) sized
+        `plan_workers` (0 = one per cell, capped at cpu_count)."""
         if self.planner_ctxs is None:
             raise ValueError(
                 "grouped sharded search needs a pallas_tiles=True index "
                 "(build/load/from_shards with pallas_tiles=True)"
             )
-        if self.mesh.shape.get("data", 1) != 1:
-            raise ValueError(
-                "search_batch_grouped supports pure doc sharding only "
-                "(mesh 'data' axis must be 1)"
-            )
         from ..search.grouped import DevicePlan
         from ..search.planner import plan_grouped
 
-        plans = [
-            plan_grouped(q_comps, q_vals, ctx, query_cut, M=M)
-            for ctx in self.planner_ctxs
+        D = self.mesh.shape.get("data", 1)
+        S = self.n_shards
+        B_total = q_comps.shape[0]
+        if B_total % max(D, 1) != 0:
+            raise ValueError(
+                f"batch {B_total} does not divide the 'data' axis {D}"
+            )
+        B = B_total // D
+        cells = [
+            (di, si)
+            for di in range(D)
+            for si in range(S)
         ]
-        # common capacities across shards -> one SPMD program
+
+        def plan_cell(cell):
+            di, si = cell
+            return plan_grouped(
+                q_comps[di * B: (di + 1) * B],
+                q_vals[di * B: (di + 1) * B],
+                self.planner_ctxs[si], query_cut, M=M,
+            )
+
+        if plan_workers == 0:
+            plan_workers = min(len(cells), os.cpu_count() or 1)
+        if plan_workers > 1 and len(cells) > 1:
+            with ThreadPoolExecutor(max_workers=plan_workers) as ex:
+                plans = list(ex.map(plan_cell, cells))
+        else:
+            plans = [plan_cell(c) for c in cells]
+        # common capacities across all cells -> one SPMD program
         G_cap = max(p.G_cap for p in plans)
         W_cap = max(p.W_cap for p in plans)
         packed = np.stack([
             DevicePlan.pack_host(
-                _repack_plan(p, G_cap, W_cap, ctx.zero_region)
+                _repack_plan(p, G_cap, W_cap,
+                             self.planner_ctxs[si].zero_region)
             )
-            for p, ctx in zip(plans, self.planner_ctxs)
-        ])
-        B, QC = plans[0].pair_slot.shape
+            for p, (di, si) in zip(plans, cells)
+        ]).reshape(D, S, -1)
+        QC = plans[0].pair_slot.shape[1]
         packed_dev = jax.device_put(
-            jnp.asarray(packed), NamedSharding(self.mesh, P("docs", None))
+            jnp.asarray(packed),
+            NamedSharding(self.mesh, P("data", "docs", None)),
         )
         fn = _make_sharded_grouped_search(
             self.mesh, gp, M, G_cap, W_cap, B, QC
@@ -430,6 +456,44 @@ class ShardedIndex:
             jnp.asarray(q_vals, jnp.float32),
         )
         return np.asarray(scores), np.asarray(ids)
+
+    # ------------------------------------------------------------- knn
+    def build_knn(self, nknn: int, batch_size: int = 256) -> None:
+        """Build each shard's k-NN graph by batched self-search over the
+        shard's own documents (reference: Knn::new,
+        inverted_index.rs:448-500; refinement neighborhoods are
+        within-shard, like the per-node graphs of a doc-partitioned
+        deployment). Updates host shards and re-stacks the device knn
+        leaf in place."""
+        if self.host_shards is None:
+            raise ValueError(
+                "build_knn needs host-side shard arrays (build/load first)"
+            )
+        from ..search import knn as knn_mod
+
+        graphs = []
+        for s in self.host_shards:
+            dev = s.to_device()
+            graphs.append(
+                knn_mod.build_knn(s, dev, nknn, batch_size=batch_size)
+            )
+        n_docs = max(s.fwd_comps.shape[0] for s in self.host_shards)
+        for s, g in zip(self.host_shards, graphs):
+            s.knn = _pad_rows(g, n_docs, -1)
+        import dataclasses as _dc
+
+        stacked_knn = jnp.stack(
+            [jnp.asarray(s.knn, jnp.int32) for s in self.host_shards]
+        )
+        self.stacked = _dc.replace(
+            self.stacked,
+            knn=jax.device_put(
+                stacked_knn,
+                NamedSharding(
+                    self.mesh, P("docs", *([None] * (stacked_knn.ndim - 1)))
+                ),
+            ),
+        )
 
 
 def _repack_plan(plan, G_cap: int, W_cap: int, zero_region: int):
@@ -474,7 +538,7 @@ def _make_sharded_grouped_search(mesh, gp, M, G_cap, W_cap, B, QC):
 
     def local_search(index_stacked, doc_offset, packed, q_comps, q_vals):
         local = jax.tree.map(lambda x: x[0], index_stacked)
-        dplan = DevicePlan(packed=packed[0], M=M, G_cap=G_cap,
+        dplan = DevicePlan(packed=packed[0, 0], M=M, G_cap=G_cap,
                            W_cap=W_cap, B=B, QC=QC)
         scores, ids = _grouped_impl(local, dplan, q_comps, q_vals, gp)
         gids = jnp.where(ids >= 0, ids + doc_offset[0], jnp.int32(-1))
@@ -491,9 +555,10 @@ def _make_sharded_grouped_search(mesh, gp, M, G_cap, W_cap, B, QC):
             mapped = shard_map(
                 local_search,
                 mesh=mesh,
-                in_specs=(in_index_specs, P("docs"), P("docs", None),
-                          P(None, None), P(None, None)),
-                out_specs=(P(None, None), P(None, None)),
+                in_specs=(in_index_specs, P("docs"),
+                          P("data", "docs", None),
+                          P("data", None), P("data", None)),
+                out_specs=(P("data", None), P("data", None)),
                 check_vma=False,
             )
             jitted[key] = jax.jit(mapped)

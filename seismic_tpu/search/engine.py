@@ -591,8 +591,14 @@ def _search_impl(
         )
         scores = jnp.where(cmask, scores, -jnp.inf)
         # pool then dedup (the visited set) on the small pool only — a
-        # full NC-wide sort would dominate the tail
-        pool = min(max(params.dedup_pool, 4 * k), NC)
+        # full NC-wide sort would dominate the tail. A doc can occur once
+        # per selected list, so the pre-dedup pool must be well above k
+        # (same default as the tiles path above) or duplicates of the top
+        # docs crowd out the k-th unique candidate.
+        pool = min(
+            params.dedup_pool if params.dedup_pool > 0 else max(8 * k, 64),
+            NC,
+        )
         pool_scores, ppos = jax.lax.top_k(scores, pool)
         pool_ids = jnp.take_along_axis(cand_ids, ppos, axis=1)
         dscores, dids = _dedup_by_id(pool_scores, pool_ids, n_docs)

@@ -252,3 +252,75 @@ def test_value_dtype_u16_roundtrip():
         assert np.isclose(mins8[i], mn)
         assert np.isclose(steps8[i], q)
         assert (codes8[i][mask[i]] == c).all()
+
+
+def test_convert_index_dtypes(rng):
+    """Built-index forward-value conversion (reference ConvertFrom,
+    inverted_index.rs:237-284): posting structures shared, forward values
+    re-encoded, chained conversions accumulate only one quantization."""
+    import dataclasses
+
+    from seismic_tpu.build.builder import build_index
+    from seismic_tpu.build.convert import (
+        convert_index,
+        decode_forward_values,
+    )
+    from seismic_tpu.config import Configuration, TpuLayout
+    from tests.conftest import make_random_dataset
+
+    ds = make_random_dataset(rng, n_docs=200, dim=300, min_nnz=8,
+                             max_nnz=25, seed=3)
+    cfg = Configuration(layout=TpuLayout(max_block_len=16,
+                                         summary_vocab_cap=128))
+    base = build_index(ds, cfg, value_dtype="f32")
+    f32 = decode_forward_values(base)
+
+    for dt, tol in (("f16", 1e-3), ("bf16", 8e-3), ("u16", 1e-4),
+                    ("u8", 6e-3), ("fixedu8", 6e-3)):
+        conv = convert_index(base, dt)
+        # shared (identical objects) posting structures
+        assert conv.postings is base.postings
+        assert conv.doc_tiles is base.doc_tiles
+        assert conv.fwd_comps is base.fwd_comps
+        back = decode_forward_values(conv)
+        err = np.abs(back - f32)
+        assert float(err.max()) <= tol * max(1.0, float(np.abs(f32).max())), dt
+        if dt.endswith("u8"):
+            assert conv.fwd_vals.dtype == np.uint8
+            assert conv.fwd_val_min is not None
+
+    # u8 -> f32 -> u8 round trip: second pass adds no further error
+    u8 = convert_index(base, "u8")
+    u8b = convert_index(convert_index(u8, "f32"), "u8")
+    assert np.allclose(decode_forward_values(u8), decode_forward_values(u8b),
+                       atol=1e-6)
+
+    # direct u8 build == f32 build + convert (the reference's fixedu8 CLI
+    # equivalence, build_inverted_index.rs:278-286)
+    direct = build_index(ds, cfg, value_dtype="u8")
+    assert (direct.fwd_vals == u8.fwd_vals).all()
+    assert np.allclose(direct.fwd_val_min, u8.fwd_val_min)
+
+    with np.testing.assert_raises(ValueError):
+        convert_index(base, "i4")
+
+
+def test_api_convert_roundtrip(rng):
+    """API-level convert(): search results survive a u8 conversion."""
+    from seismic_tpu.api import SeismicIndexRaw
+    from tests.conftest import make_random_dataset, make_random_queries
+
+    ds = make_random_dataset(rng, n_docs=200, dim=300, min_nnz=8,
+                             max_nnz=25, seed=5)
+    idx = SeismicIndexRaw.build_from_csr(ds)
+    qc, qv = make_random_queries(np.random.default_rng(4), n_queries=4,
+                                 dim=300, min_nnz=5, max_nnz=15)
+    r0 = idx.batch_search(qc, qv, k=5, query_cut=10, heap_factor=0.0)
+    out = idx.convert("u8")
+    assert out is idx
+    assert idx.arrays.fwd_vals.dtype == np.uint8
+    r1 = idx.batch_search(qc, qv, k=5, query_cut=10, heap_factor=0.0)
+    agree = 0
+    for a, b in zip(r0, r1):
+        agree += len({t[1] for t in a} & {t[1] for t in b})
+    assert agree >= 0.8 * sum(len(a) for a in r0)

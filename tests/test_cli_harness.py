@@ -202,3 +202,51 @@ batch-size = 8
     best = best_config_for_recall(results, 0.3)
     assert best is not None
     assert best["us_per_query"] > 0
+
+
+def test_compute_metric_family():
+    """ir_measures-style metric strings evaluated natively
+    (reference: scripts/run_experiments.py:242-284)."""
+    from seismic_tpu.harness.evaluate import compute_metric, mrr_at_k
+
+    # q1: relevant docs a (rel 2) and b (rel 1); run returns [a, x, b]
+    # q2: relevant doc c; run returns [y, c]
+    qrels = {"q1": {"a": 2, "b": 1}, "q2": {"c": 1}}
+    run = {
+        "q1": [("a", 3.0), ("x", 2.0), ("b", 1.0)],
+        "q2": [("y", 2.0), ("c", 1.0)],
+    }
+    assert compute_metric(run, qrels, "RR@10") == pytest.approx(
+        (1.0 + 0.5) / 2
+    )
+    assert compute_metric(run, qrels, "MRR@10") == pytest.approx(
+        mrr_at_k(run, qrels, 10)
+    )
+    assert compute_metric(run, qrels, "Recall@10") == pytest.approx(
+        (2 / 2 + 1 / 1) / 2
+    )
+    assert compute_metric(run, qrels, "Recall@1") == pytest.approx(
+        (1 / 2 + 0) / 2
+    )
+    assert compute_metric(run, qrels, "P@2") == pytest.approx(
+        (1 / 2 + 1 / 2) / 2
+    )
+    assert compute_metric(run, qrels, "Success@1") == pytest.approx(0.5)
+    assert compute_metric(run, qrels, "Success@2") == pytest.approx(1.0)
+    # AP: q1 = (1/1 + 2/3)/2, q2 = (1/2)/1
+    assert compute_metric(run, qrels, "MAP@10") == pytest.approx(
+        ((1.0 + 2 / 3) / 2 + 0.5) / 2
+    )
+    import math
+
+    # nDCG q1: dcg = 3/log2(2) + 1/log2(4); idcg = 3/log2(2) + 1/log2(3)
+    d1 = (3 / 1 + 1 / 2) / (3 / 1 + 1 / math.log2(3))
+    d2 = (1 / math.log2(3)) / 1.0
+    assert compute_metric(run, qrels, "nDCG@10") == pytest.approx(
+        (d1 + d2) / 2
+    )
+    try:
+        import ir_measures  # noqa: F401
+    except ImportError:
+        with pytest.raises(ValueError):
+            compute_metric(run, qrels, "Bpref")

@@ -192,3 +192,67 @@ def test_sharded_grouped_matches_single():
         assert len(shared) >= 5
         for d in shared:
             assert abs(ref[d] - got[d]) < 1e-4 * max(1.0, abs(ref[d]))
+
+
+@pytest.mark.slow
+def test_sharded_grouped_data_parallel_and_knn():
+    """Round-3 widened fast path: a (data 2 x docs 4) mesh shards the
+    query batch too — results must match the pure-doc-sharded run; and
+    ShardedIndex.build_knn + n_knn refinement must not lose recall."""
+    import numpy as np
+
+    from seismic_tpu import Configuration, TpuLayout
+    from seismic_tpu.parallel.mesh import make_mesh
+    from seismic_tpu.parallel.sharded import ShardedIndex
+    from seismic_tpu.search.engine import pad_queries
+    from seismic_tpu.search.grouped import GroupedParams
+    from seismic_tpu.search.exact import exact_search_numpy
+    from tests.conftest import make_random_dataset, make_random_queries
+
+    rng = np.random.default_rng(5)
+    ds = make_random_dataset(rng, n_docs=240, dim=400, min_nnz=10,
+                             max_nnz=30, seed=31)
+    cfg = Configuration(layout=TpuLayout(max_block_len=16,
+                                         summary_vocab_cap=256,
+                                         tile_overflow=8))
+    qc, qv = make_random_queries(np.random.default_rng(6), n_queries=8,
+                                 dim=400, min_nnz=6, max_nnz=20)
+    q_comps, q_vals = pad_queries(qc, qv, 64)
+    gp = GroupedParams(k=10, score_cut=64, pool=64, rescore=32,
+                       compute_dtype="f32", pool_mode="exact")
+
+    mesh1 = make_mesh(n_docs_shards=4, n_data=1)
+    sharded1 = ShardedIndex.build(ds, mesh1, cfg, pallas_tiles=True)
+    s1, i1 = sharded1.search_batch_grouped(q_comps, q_vals, gp,
+                                           query_cut=8)
+
+    mesh2 = make_mesh(n_docs_shards=4, n_data=2)
+    sharded2 = ShardedIndex.build(ds, mesh2, cfg, pallas_tiles=True)
+    s2, i2 = sharded2.search_batch_grouped(q_comps, q_vals, gp,
+                                           query_cut=8)
+    assert np.array_equal(i1, i2)
+    assert np.allclose(s1, s2, rtol=1e-5)
+
+    # batch must divide the data axis
+    with pytest.raises(ValueError):
+        sharded2.search_batch_grouped(q_comps[:7], q_vals[:7], gp,
+                                      query_cut=8)
+
+    # per-shard kNN graphs + refined search
+    sharded2.build_knn(nknn=4, batch_size=64)
+    assert all(s.knn is not None for s in sharded2.host_shards)
+    gpr = GroupedParams(k=10, score_cut=64, pool=64, rescore=32,
+                        compute_dtype="f32", pool_mode="exact", n_knn=4)
+    s3, i3 = sharded2.search_batch_grouped(q_comps, q_vals, gpr,
+                                           query_cut=8)
+    _, gt_i = exact_search_numpy(ds, q_comps, q_vals, k=10)
+
+    def recall(ids):
+        hits = sum(
+            len(set(map(int, r[r >= 0])) & set(map(int, g[g >= 0])))
+            for r, g in zip(ids, gt_i)
+        )
+        tot = sum(len(set(map(int, g[g >= 0]))) for g in gt_i)
+        return hits / tot
+
+    assert recall(i3) >= recall(i2) - 1e-9
