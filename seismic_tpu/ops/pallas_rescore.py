@@ -96,7 +96,21 @@ def rescore_exact(index, doc_ids, top_c, top_v, sc: int,
     n_docs = index.n_docs
     safe = jnp.clip(doc_ids, 0, n_docs - 1)
     flat = safe.reshape(B * R)
-    if index.fwd_comps16 is not None:
+    if getattr(index, "fwd_fused", None) is not None:
+        # one fused [B*R, 2W] gather instead of two: this stage is bound
+        # by gathered-row count (~50 ns/row, byte width immaterial —
+        # probe_r3b), so halving the row count halves the stage
+        import jax
+
+        fused = index.fwd_fused[flat]  # i32 [B*R, 2W]
+        W2 = fused.shape[1] // 2
+        comps = fused[:, :W2]
+        vals = _decode_fwd_vals(
+            index,
+            jax.lax.bitcast_convert_type(fused[:, W2:], jnp.float32),
+            comps, flat,
+        )
+    elif index.fwd_comps16 is not None:
         # int16 twin (PAD -> -1): halves the row-gather bytes, the
         # dominant cost of this stage; widened inside the kernel
         comps = index.fwd_comps16[flat]  # i16 [B*R, W]
@@ -104,9 +118,10 @@ def rescore_exact(index, doc_ids, top_c, top_v, sc: int,
     else:
         comps = index.fwd_comps[flat].astype(jnp.int32)  # [B*R, W]
         comps_mask_src = comps != PAD_COMPONENT
-    vals = _decode_fwd_vals(
-        index, index.fwd_vals[flat], comps_mask_src, flat
-    )  # f32 [B*R, W]
+    if getattr(index, "fwd_fused", None) is None:
+        vals = _decode_fwd_vals(
+            index, index.fwd_vals[flat], comps_mask_src, flat
+        )  # f32 [B*R, W]
     W = comps.shape[1]
     Wp = -(-W // LANES) * LANES
     Rp = -(-R // 8) * 8

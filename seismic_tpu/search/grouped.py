@@ -73,7 +73,9 @@ class GroupedParams:
     # to_device(super_summaries=True).
     stream_frac: float = 1.0
     # qloc computation: "pallas" = in-VMEM projection kernel,
-    # "einsum" = the round-2 XLA compare-einsum (reference path)
+    # "einsum" = the round-2 XLA compare-einsum (reference path).
+    # (An all-int16 kernel was probed and rejected: Mosaic on this device
+    # does not support 16-bit vector compares — probe_r3b.)
     qloc_mode: str = "pallas"
     # candidate-pool selection: "approx" = lax.approx_max_k (TPU PartialReduce,
     # several x faster than the full sort of lax.top_k; per-element recall
@@ -88,11 +90,20 @@ class GroupedParams:
     # each score's bit pattern with its row offset into one int32; pooling
     # is a single reduce_window max per `pool_window` rows on the SLOT
     # grid (no full-width regroup gather, no approx_max_k PartialReduce),
-    # then a tiny [B, QC * LLMAX/pool_window] exact merge
+    # then a tiny [B, QC * LLMAX/pool_window] exact merge. Measured: fast
+    # but conflates CONSECUTIVE rows — same k-means block, i.e. similar
+    # docs — so recall drops when two top-k docs share a block.
+    # "stride" = the fix: same packed-int32 kernel output, but the max
+    # conflates rows `pool_stride` apart WITHIN one work item (stride
+    # csub*128/pool_stride >= 32 rows = always different blocks, so the
+    # conflated docs are dissimilar by construction); unwritten output
+    # regions (groups with fewer work items than LLMAX covers) stay
+    # self-contained, so garbage never shadows real rows.
     pool_mode: str = "approx"
     pool_recall: float = 0.98
     pool_per_pair: int = 12
     pool_window: int = 8
+    pool_stride: int = 8
     # rescore-path dedup placement: "pre" = sort-dedup the whole pool
     # before picking the rescore set (max unique candidates); "post" =
     # rescore the raw top-`rescore` (dups waste some rescore lanes) and
@@ -563,7 +574,7 @@ def _grouped_impl(
         ].set(True, mode="drop")
 
     # ---- grouped tile scoring on the MXU ----
-    pack_idx = params.pool_mode == "window"
+    pack_idx = params.pool_mode in ("window", "stride")
     scores = score_grouped_pallas(
         index.doc_tiles_aligned,
         index.tile_scale3d,
@@ -588,20 +599,55 @@ def _grouped_impl(
         # then moves only [B*QC, NW] int32 (vs [B*QC, LLMAX] f32) ----
         if streamed is not None:
             raise NotImplementedError(
-                "pool_mode='window' with stream_frac < 1 is unsupported"
+                "pool_mode='window'/'stride' with stream_frac < 1 is "
+                "unsupported"
             )
-        WP = params.pool_window
-        NW = LLMAX // WP
         idx_bits = max(1, (LLMAX - 1).bit_length())
         imask = (1 << idx_bits) - 1
-        wmax = jax.lax.reduce_window(
-            scores,
-            jnp.int32(-(2**31) + 1),
-            jax.lax.max,
-            (1, 1, WP),
-            (1, 1, WP),
-            "VALID",
-        )  # [G_cap, M, NW] packed int32
+        if params.pool_mode == "stride":
+            # max over rows ROWS/r apart WITHIN one work item: distance
+            # >= 32 rows == different k-means blocks, so the conflated
+            # docs are dissimilar; unwritten items stay self-contained.
+            # Work items beyond a group's real coverage hold UNWRITTEN
+            # (random) bits whose packed offsets can masquerade as valid
+            # rows — mask them on the slot grid by the group's length
+            # (the first probe run skipped this: recall 0.9725 -> 0.9443)
+            ROWS = csub * SUB
+            r = min(params.pool_stride, ROWS // 32)
+            S = LLMAX // ROWS
+            step = ROWS // r
+            NW = S * step
+            s_real = (
+                jnp.arange(S, dtype=jnp.int32)[None, :] * ROWS
+                < plan.group_nrows[:, None]
+            )  # [G_cap, S]
+            neg_inf_bits = jnp.int32(
+                np.float32(-np.inf).view(np.int32)
+            )  # packed -inf: survives bitcast as -inf, never wins the max
+            wmax = jnp.where(
+                s_real[:, None, :, None, None],
+                scores.reshape(G_cap, M, S, r, step),
+                neg_inf_bits,
+            ).max(axis=3).reshape(G_cap, M, NW)
+        else:
+            WP = params.pool_window
+            NW = LLMAX // WP
+            wmax = jax.lax.reduce_window(
+                scores,
+                jnp.int32(-(2**31) + 1),
+                jax.lax.max,
+                (1, 1, WP),
+                (1, 1, WP),
+                "VALID",
+            )  # [G_cap, M, NW] packed int32
+            # windows in a group's UNWRITTEN output tail (beyond its work
+            # items' coverage) hold random bits — mask by group length
+            win_real = (
+                jnp.arange(NW, dtype=jnp.int32)[None, :] * WP
+                < plan.group_nrows[:, None]
+            )  # [G_cap, NW]
+            neg_inf_bits = jnp.int32(np.float32(-np.inf).view(np.int32))
+            wmax = jnp.where(win_real[:, None, :], wmax, neg_inf_bits)
         pw = wmax.reshape(G_cap * M, NW)[
             plan.pair_slot.reshape(B * QC)
         ].reshape(B, QC, NW)

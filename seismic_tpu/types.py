@@ -352,6 +352,18 @@ class IndexArrays:
                 extra["fwd_comps16"] = put(
                     np.where(fc == PAD_COMPONENT, -1, fc).astype(np.int16)
                 )
+        if (pallas_tiles and self.fwd_comps is not None
+                and self.fwd_val_min is None):
+            # fused forward tile: comps and f32-bit values interleaved in
+            # ONE [n_docs, 2W] int32 array. The rescore gather is bound by
+            # gathered-ROW count (~50 ns/row on this device, byte width
+            # immaterial: f16 values measured no faster), so one fused
+            # gather halves the dominant rescore cost (probe_r3b).
+            fc = np.asarray(self.fwd_comps, dtype=np.int32)
+            fv = np.asarray(self.fwd_vals, dtype=np.float32)
+            extra["fwd_fused"] = put(
+                np.concatenate([fc, fv.view(np.int32)], axis=1)
+            )
         if (self.doc_tile_scale is not None
                 and self.list_post_start is not None):
             # per-list max posting value (u8 code 255 * row scale): the
@@ -451,6 +463,10 @@ class DeviceIndex:
     fwd_comps16: object = None
     # per-list max posting value (weighted-cut list selection)
     list_weight: object = None
+    # fused [n_docs, 2W] int32 forward tile (comps | f32-bit values): the
+    # rescore gather is bound by gathered-row COUNT on this device, so one
+    # fused gather replaces the separate comps+vals gathers (probe_r3b)
+    fwd_fused: object = None
     dim: int = 0
     n_docs: int = 0
     max_blocks_per_list: int = 0

@@ -394,6 +394,16 @@ def test_pool_mode_slot_and_window(setup):
                                 query_cut=10)
         assert _recall(i_s, gt_i) >= r_b - 0.02, dt
 
+    # stride pool (conflates only rows >= 32 apart, i.e. different
+    # k-means blocks) must track the exact pool's recall
+    for ps in (8, 4):
+        st = GroupedParams(k=10, score_cut=64, pool=128, rescore=48,
+                           pool_mode="stride", pool_stride=ps,
+                           compute_dtype="i8")
+        _, i_t = search_grouped(dev, ctx, q_comps, q_vals, st,
+                                query_cut=10)
+        assert _recall(i_t, gt_i) >= r_b - 0.02, ps
+
     s_gt, i_gt = exact_search_numpy(ds, q_comps, q_vals, k=50)
     exact_of = [
         {int(i): float(s) for s, i in zip(srow, irow)}
