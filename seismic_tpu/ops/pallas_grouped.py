@@ -42,8 +42,15 @@ def score_grouped_pallas(
     qsum=None,  # f32 [G_cap, M, 128] lane-replicated 128*sum_v(qloc[g,m,:])
     csub: int = 1,  # subtiles per work item (aligned-layout granularity)
     pack_idx: bool = False,  # pack (score bits | row index) into int32 out
+    pack_window: int = 1,  # in-kernel max over pack_window 128-col slices:
+    # conflates rows >= 128 apart (always different k-means blocks) and
+    # shrinks the kernel output pack_window-fold at zero extra traffic —
+    # the slot-grid output is ~68% padding, so every downstream byte
+    # saved here is a real byte. Requires pack_idx and
+    # csub * SUB // pack_window % 128 == 0.
 ):
-    """Returns UNMASKED scores f32 [G_cap, M, ll_max]; blocks not covered
+    """Returns UNMASKED scores f32 [G_cap, M, ll_max] (or packed int32
+    [G_cap, M, ll_max // pack_window] with pack_idx); blocks not covered
     by a work item hold garbage (caller masks with group_nrows/slot
     validity).
 
@@ -72,12 +79,13 @@ def score_grouped_pallas(
         assert qloc.dtype == jnp.int8
         return _score_grouped_i8(
             doc_tiles_i8, tile_scale3d, qloc, work_region, work_g, work_s,
-            ll_max, interpret, csub, pack_idx,
+            ll_max, interpret, csub, pack_idx, pack_window,
         )
     cdt = jnp.bfloat16 if compute_dtype == "bf16" else jnp.float32
 
     ROWS = csub * SUB
     pack = _make_pack(ll_max, ROWS) if pack_idx else None
+    STEP = _check_pack_window(pack_idx, pack_window, ROWS)
 
     def kernel_fixup(region_ref, g_ref, s_ref, tile_ref, scale_ref,
                      qloc_ref, out_ref):
@@ -92,7 +100,8 @@ def score_grouped_pallas(
             preferred_element_type=jnp.float32,
         )  # [M, ROWS]
         out = s * scale_ref[0, 0, :][None, :]
-        out_ref[0] = pack(out, s_ref) if pack else out
+        out_ref[0] = (_window_max(pack(out, s_ref), pack_window, STEP)
+                      if pack else out)
 
     def kernel_centered(region_ref, g_ref, s_ref, tile_ref, scale_ref,
                         qloc_ref, qsum_ref, out_ref):
@@ -103,7 +112,8 @@ def score_grouped_pallas(
             preferred_element_type=jnp.float32,
         )  # [M, ROWS]
         out = (s + qsum_ref[0]) * scale_ref[0, 0, :][None, :]
-        out_ref[0] = pack(out, s_ref) if pack else out
+        out_ref[0] = (_window_max(pack(out, s_ref), pack_window, STEP)
+                      if pack else out)
 
     in_specs = [
         pl.BlockSpec(
@@ -144,19 +154,48 @@ def score_grouped_pallas(
         grid=(W_cap,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, M, ROWS),
+            (1, M, STEP if pack_idx else ROWS),
             lambda w, region, g, s: (g[w], 0, s[w]),
             memory_space=pltpu.VMEM,
         ),
     )
 
     out_dtype = jnp.int32 if pack_idx else jnp.float32
+    out_w = ll_max // pack_window if pack_idx else ll_max
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((G_cap, M, ll_max), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((G_cap, M, out_w), out_dtype),
         interpret=interpret,
     )(work_region, work_g, work_s, *operands)
+
+
+def _check_pack_window(pack_idx: bool, pack_window: int, rows: int) -> int:
+    """Validate pack_window and return the per-item output width (STEP)."""
+    if pack_window <= 1:
+        return rows
+    assert pack_idx, "pack_window > 1 requires pack_idx"
+    step = rows // pack_window
+    assert step * pack_window == rows and step % 128 == 0, (
+        f"pack_window {pack_window} needs csub*SUB ({rows}) divisible "
+        "into 128-multiple slices"
+    )
+    return step
+
+
+def _window_max(p, rk: int, step: int):
+    """Integer max over rk 128-aligned lane slices of the packed [M, ROWS]
+    scores: conflated rows are `step` >= 128 apart — always different
+    k-means blocks, so the conflated docs are dissimilar by construction.
+    Lane slices at 128-multiples are free in Mosaic (no relayout)."""
+    import jax.numpy as jnp
+
+    if rk <= 1:
+        return p
+    out = p[:, :step]
+    for u in range(1, rk):
+        out = jnp.maximum(out, p[:, u * step:(u + 1) * step])
+    return out
 
 
 def _make_pack(ll_max: int, rows: int):
@@ -197,6 +236,7 @@ def _score_grouped_i8(
     interpret: bool,
     csub: int = 1,
     pack_idx: bool = False,
+    pack_window: int = 1,
 ):
     """int8 x int8 -> int32 MXU variant (2x the bf16 rate on v5e; probed in
     harness/microbench_qloc.py). Returns scores in QUANTIZED qloc units —
@@ -213,6 +253,7 @@ def _score_grouped_i8(
     W_cap = work_region.shape[0]
     ROWS = csub * SUB
     pack = _make_pack(ll_max, ROWS) if pack_idx else None
+    STEP = _check_pack_window(pack_idx, pack_window, ROWS)
 
     def kernel(region_ref, g_ref, s_ref, tile_ref, scale_ref, qloc_ref,
                out_ref):
@@ -225,7 +266,8 @@ def _score_grouped_i8(
         rowsum = jnp.sum(q.astype(jnp.int32), axis=1, keepdims=True)  # [M,1]
         s = (dot + 128 * rowsum).astype(jnp.float32)
         out = s * scale_ref[0, 0, :][None, :]
-        out_ref[0] = pack(out, s_ref) if pack else out
+        out_ref[0] = (_window_max(pack(out, s_ref), pack_window, STEP)
+                      if pack else out)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -248,16 +290,17 @@ def _score_grouped_i8(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, M, ROWS),
+            (1, M, STEP if pack_idx else ROWS),
             lambda w, region, g, s: (g[w], 0, s[w]),
             memory_space=pltpu.VMEM,
         ),
     )
 
     out_dtype = jnp.int32 if pack_idx else jnp.float32
+    out_w = ll_max // pack_window if pack_idx else ll_max
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((G_cap, M, ll_max), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((G_cap, M, out_w), out_dtype),
         interpret=interpret,
     )(work_region, work_g, work_s, doc_tiles_i8, tile_scale3d, qloc_i8)

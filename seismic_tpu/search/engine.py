@@ -188,10 +188,22 @@ def _exact_scores(index: DeviceIndex, qd, doc_ids, chunk: int = 1024):
 
 
 def _exact_scores_block(index: DeviceIndex, qd, doc_ids):
-    tiles_comps = index.fwd_comps[doc_ids]  # [B, N, W]
-    tiles_vals = _decode_fwd_vals(
-        index, index.fwd_vals[doc_ids], tiles_comps, doc_ids
-    )
+    if getattr(index, "fwd_fused", None) is not None:
+        # fused [n_docs, 2W] tile: one row gather (the fused layout
+        # supersedes fwd_comps/fwd_vals on device to save HBM)
+        fused = index.fwd_fused[doc_ids]  # i32 [B, N, 2W]
+        W2 = fused.shape[-1] // 2
+        tiles_comps = fused[..., :W2]
+        tiles_vals = _decode_fwd_vals(
+            index,
+            jax.lax.bitcast_convert_type(fused[..., W2:], jnp.float32),
+            tiles_comps, doc_ids,
+        )
+    else:
+        tiles_comps = index.fwd_comps[doc_ids]  # [B, N, W]
+        tiles_vals = _decode_fwd_vals(
+            index, index.fwd_vals[doc_ids], tiles_comps, doc_ids
+        )
     qvals = jax.vmap(_lookup)(qd, tiles_comps)  # [B, N, W]
     return jnp.sum(tiles_vals * qvals, axis=-1)
 

@@ -46,6 +46,12 @@ class GroupedParams:
     k: int = 10
     # query terms participating in tile scoring (and overflow re-rank)
     score_cut: int = 64
+    # > 0: smaller term budget for the APPROXIMATE qloc projection only
+    # (the exact rescore still scans score_cut terms). The qloc kernel's
+    # cost is linear in the unrolled compare count, and the projection
+    # only ranks candidates for the pool — the tail's exact rescore
+    # absorbs small projection errors. 0 = use score_cut.
+    qloc_cut: int = 0
     # per-query pool re-ranked with overflow entries and deduped
     pool: int = 128
     # apply the out-of-vocab overflow correction (requires tile_ovf arrays)
@@ -93,17 +99,25 @@ class GroupedParams:
     # then a tiny [B, QC * LLMAX/pool_window] exact merge. Measured: fast
     # but conflates CONSECUTIVE rows — same k-means block, i.e. similar
     # docs — so recall drops when two top-k docs share a block.
-    # "stride" = the fix: same packed-int32 kernel output, but the max
-    # conflates rows `pool_stride` apart WITHIN one work item (stride
-    # csub*128/pool_stride >= 32 rows = always different blocks, so the
-    # conflated docs are dissimilar by construction); unwritten output
-    # regions (groups with fewer work items than LLMAX covers) stay
-    # self-contained, so garbage never shadows real rows.
+    # "stride" = the fix, split across kernel and XLA: the kernel
+    # collapses rk = min(pool_stride, csub*128/128) rows >= 128 apart
+    # per packed col (free 128-aligned lane max — shrinks the
+    # mostly-padding slot-grid output rk-fold), the pair regroup gather
+    # runs NEXT (reads only real pairs' rows), and the remaining
+    # pool_stride/rk max runs pair-major in XLA (conflated rows >= 32
+    # apart within one work item = always different k-means blocks, so
+    # the conflated docs are dissimilar by construction); unwritten
+    # output regions stay self-contained and are masked by item start
+    # row vs pair list length.
     pool_mode: str = "approx"
     pool_recall: float = 0.98
     pool_per_pair: int = 12
     pool_window: int = 8
     pool_stride: int = 8
+    # final pool selection for the packed modes ("window"/"stride"):
+    # "exact" = lax.top_k over [B, QC*NW], "approx" = lax.approx_max_k
+    # (PartialReduce, cheaper on wide rows; per-element pool_recall)
+    pool_select: str = "exact"
     # rescore-path dedup placement: "pre" = sort-dedup the whole pool
     # before picking the rescore set (max unique candidates); "post" =
     # rescore the raw top-`rescore` (dups waste some rescore lanes) and
@@ -456,6 +470,7 @@ def _grouped_impl(
     # real pairs, not padded slots) and then spread to the [G_cap, M] slot
     # grid with a wide-row gather, which runs at HBM speed on this device
     # (harness/profile_tiles.py measurement).
+    scq = min(params.qloc_cut, sc) if params.qloc_cut > 0 else sc
     if params.qloc_mode == "pallas":
         from ..ops.pallas_qloc import LANES, project_qloc_pallas
 
@@ -470,24 +485,24 @@ def _grouped_impl(
             vocabT = index.list_vocab[pair_list_flat].astype(jnp.int32).T
         # sublane-pad the term axis to a multiple of 8 (vocab PAD slots can
         # only match qc PAD slots, whose value contribution is 0)
-        SCP = -(-sc // 8) * 8
+        SCP = -(-scq // 8) * 8
         qcT = jnp.broadcast_to(
-            top_c[:, None, :sc], (B, QC, sc)
-        ).reshape(P, sc).T  # [sc, P]
+            top_c[:, None, :scq], (B, QC, scq)
+        ).reshape(P, scq).T  # [scq, P]
         qvT = jnp.broadcast_to(
-            top_v[:, None, :sc], (B, QC, sc)
-        ).reshape(P, sc).T
-        if SCP > sc:
-            qcT = jnp.pad(qcT, ((0, SCP - sc), (0, 0)),
+            top_v[:, None, :scq], (B, QC, scq)
+        ).reshape(P, scq).T
+        if SCP > scq:
+            qcT = jnp.pad(qcT, ((0, SCP - scq), (0, 0)),
                           constant_values=PAD_COMPONENT)
-            qvT = jnp.pad(qvT, ((0, SCP - sc), (0, 0)))
+            qvT = jnp.pad(qvT, ((0, SCP - scq), (0, 0)))
         if P_cap > P:
             vocabT = jnp.pad(vocabT, ((0, 0), (0, P_cap - P)))
             qcT = jnp.pad(qcT, ((0, 0), (0, P_cap - P)),
                           constant_values=PAD_COMPONENT)
             qvT = jnp.pad(qvT, ((0, 0), (0, P_cap - P)))
         qlocT = project_qloc_pallas(
-            vocabT, qcT, qvT, sc, interpret=interpret
+            vocabT, qcT, qvT, scq, interpret=interpret
         )  # [V, P_cap] lane-major
         if params.compute_dtype == "i8":
             # quantize LANE-MAJOR (per-pair = per-lane amax over
@@ -506,7 +521,7 @@ def _grouped_impl(
         from .engine import _qloc_compare
 
         vocab = index.list_vocab[plan.pair_list].astype(jnp.int32)
-        qloc_pairs = _qloc_compare(vocab, q_comps, qv, sc).reshape(
+        qloc_pairs = _qloc_compare(vocab, q_comps, qv, scq).reshape(
             B * QC, V
         )
         if params.compute_dtype == "i8":
@@ -575,6 +590,11 @@ def _grouped_impl(
 
     # ---- grouped tile scoring on the MXU ----
     pack_idx = params.pool_mode in ("window", "stride")
+    rk = 1
+    if params.pool_mode == "stride":
+        # in-kernel share of the stride max (128-aligned lane slices, free
+        # in Mosaic): shrinks the mostly-padding slot-grid output rk-fold
+        rk = max(1, min(params.pool_stride, (csub * SUB) // 128))
     scores = score_grouped_pallas(
         index.doc_tiles_aligned,
         index.tile_scale3d,
@@ -588,7 +608,9 @@ def _grouped_impl(
         qsum=qsum,
         csub=csub,
         pack_idx=pack_idx,
-    )  # [G_cap, M, LLMAX] f32 (or packed int32 when pool_mode="window")
+        pack_window=rk,
+    )  # [G_cap, M, LLMAX] f32 (or packed int32 [G_cap, M, LLMAX // rk]
+    # when pool_mode is "window"/"stride")
     if params.stop_after == "kernel":
         return scores, scores
 
@@ -605,30 +627,47 @@ def _grouped_impl(
         idx_bits = max(1, (LLMAX - 1).bit_length())
         imask = (1 << idx_bits) - 1
         if params.pool_mode == "stride":
-            # max over rows ROWS/r apart WITHIN one work item: distance
-            # >= 32 rows == different k-means blocks, so the conflated
-            # docs are dissimilar; unwritten items stay self-contained.
-            # Work items beyond a group's real coverage hold UNWRITTEN
-            # (random) bits whose packed offsets can masquerade as valid
-            # rows — mask them on the slot grid by the group's length
-            # (the first probe run skipped this: recall 0.9725 -> 0.9443)
+            # regroup-FIRST design: the slot grid is mostly padded slots
+            # (~68% at bench shapes), so the pair gather — which reads
+            # only real pairs' rows — runs before any full-width
+            # reduction. The kernel already collapsed rk rows >= 128
+            # apart per output col; the remaining stride max (rows >= 32
+            # apart WITHIN one work item — always different k-means
+            # blocks, so the conflated docs are dissimilar) runs here on
+            # the pair-major array. Garbage cols (items beyond a pair's
+            # list coverage, never written by the kernel) only conflate
+            # with same-item garbage, and are masked below by the item's
+            # start row vs the pair's list length.
             ROWS = csub * SUB
-            r = min(params.pool_stride, ROWS // 32)
-            S = LLMAX // ROWS
-            step = ROWS // r
-            NW = S * step
-            s_real = (
-                jnp.arange(S, dtype=jnp.int32)[None, :] * ROWS
-                < plan.group_nrows[:, None]
-            )  # [G_cap, S]
-            neg_inf_bits = jnp.int32(
-                np.float32(-np.inf).view(np.int32)
-            )  # packed -inf: survives bitcast as -inf, never wins the max
-            wmax = jnp.where(
-                s_real[:, None, :, None, None],
-                scores.reshape(G_cap, M, S, r, step),
-                neg_inf_bits,
-            ).max(axis=3).reshape(G_cap, M, NW)
+            step_k = ROWS // rk
+            Wk = LLMAX // rk
+            pw = scores.reshape(G_cap * M, Wk)[
+                plan.pair_slot.reshape(B * QC)
+            ].reshape(B, QC, Wk)
+            rx = max(1, min(params.pool_stride // rk, step_k // 32))
+            if rx > 1:
+                S = Wk // step_k
+                stepx = step_k // rx
+                pw = pw.reshape(B, QC, S, rx, stepx).max(axis=3).reshape(
+                    B, QC, S * stepx
+                )
+            NW = Wk // rx
+            stepf = step_k // rx
+            s_row = (
+                jnp.arange(NW, dtype=jnp.int32) // stepf
+            ) * ROWS  # [NW] super-tile start row per col
+            off = pw & jnp.int32(imask)
+            val = jax.lax.bitcast_convert_type(
+                pw & jnp.int32(~imask), jnp.float32
+            )
+            if pair_scale is not None:
+                val = val * pair_scale.reshape(B, QC, 1)
+            ok = (
+                plan.pair_valid[:, :, None]
+                & (s_row[None, None, :] < plan.pair_len[:, :, None])
+                & (off < plan.pair_len[:, :, None])
+            )
+            val = jnp.where(ok, val, -jnp.inf)
         else:
             WP = params.pool_window
             NW = LLMAX // WP
@@ -648,27 +687,35 @@ def _grouped_impl(
             )  # [G_cap, NW]
             neg_inf_bits = jnp.int32(np.float32(-np.inf).view(np.int32))
             wmax = jnp.where(win_real[:, None, :], wmax, neg_inf_bits)
-        pw = wmax.reshape(G_cap * M, NW)[
-            plan.pair_slot.reshape(B * QC)
-        ].reshape(B, QC, NW)
-        off = pw & jnp.int32(imask)
-        val = jax.lax.bitcast_convert_type(
-            pw & jnp.int32(~imask), jnp.float32
-        )
-        if pair_scale is not None:
-            val = val * pair_scale.reshape(B, QC, 1)
-        # garbage windows (rows past the list / uninitialized kernel
-        # cells) surface offsets >= the pair's list length — one mask
-        # replaces the pre-pool full-width row masking
-        ok = plan.pair_valid[:, :, None] & (off < plan.pair_len[:, :, None])
-        val = jnp.where(ok, val, -jnp.inf)
+            pw = wmax.reshape(G_cap * M, NW)[
+                plan.pair_slot.reshape(B * QC)
+            ].reshape(B, QC, NW)
+            off = pw & jnp.int32(imask)
+            val = jax.lax.bitcast_convert_type(
+                pw & jnp.int32(~imask), jnp.float32
+            )
+            if pair_scale is not None:
+                val = val * pair_scale.reshape(B, QC, 1)
+            # garbage windows (rows past the list / uninitialized kernel
+            # cells) surface offsets >= the pair's list length — one mask
+            # replaces the pre-pool full-width row masking
+            ok = plan.pair_valid[:, :, None] & (
+                off < plan.pair_len[:, :, None]
+            )
+            val = jnp.where(ok, val, -jnp.inf)
         if params.stop_after == "regroup":
             return val, val
         gsel = (
             jnp.arange(QC, dtype=jnp.int32)[None, :, None] * LLMAX + off
         ).reshape(B, QC * NW)
         pool = min(pool, QC * NW)
-        top_scores, p1 = jax.lax.top_k(val.reshape(B, QC * NW), pool)
+        if params.pool_select == "approx" and pool < QC * NW:
+            top_scores, p1 = jax.lax.approx_max_k(
+                val.reshape(B, QC * NW), pool,
+                recall_target=params.pool_recall,
+            )
+        else:
+            top_scores, p1 = jax.lax.top_k(val.reshape(B, QC * NW), pool)
         sel = jnp.take_along_axis(gsel, p1, axis=1)
         qc_slot = sel // LLMAX
         offp = sel % LLMAX

@@ -337,6 +337,8 @@ class IndexArrays:
 
         extra = {}
         skip = set()
+        fuse_fwd = (pallas_tiles and self.fwd_comps is not None
+                    and self.fwd_val_min is None)
         if pallas_tiles and self.dim <= 32766:
             # int16 twins of the gather-heavy id arrays (PAD -> -1): the
             # grouped path's vocab + forward-row gathers run at ~25 GB/s
@@ -347,23 +349,25 @@ class IndexArrays:
                 extra["vocab16"] = put(
                     np.where(lv == PAD_COMPONENT, -1, lv).astype(np.int16)
                 )
-            if self.fwd_comps is not None:
+            if self.fwd_comps is not None and not fuse_fwd:
                 fc = np.asarray(self.fwd_comps)
                 extra["fwd_comps16"] = put(
                     np.where(fc == PAD_COMPONENT, -1, fc).astype(np.int16)
                 )
-        if (pallas_tiles and self.fwd_comps is not None
-                and self.fwd_val_min is None):
+        if fuse_fwd:
             # fused forward tile: comps and f32-bit values interleaved in
             # ONE [n_docs, 2W] int32 array. The rescore gather is bound by
             # gathered-ROW count (~50 ns/row on this device, byte width
             # immaterial: f16 values measured no faster), so one fused
-            # gather halves the dominant rescore cost (probe_r3b).
+            # gather halves the dominant rescore cost (probe_r3b). It
+            # SUPERSEDES fwd_comps/fwd_vals/fwd_comps16 on device (all
+            # row-gather consumers read it), saving 10 bytes/slot of HBM.
             fc = np.asarray(self.fwd_comps, dtype=np.int32)
             fv = np.asarray(self.fwd_vals, dtype=np.float32)
             extra["fwd_fused"] = put(
                 np.concatenate([fc, fv.view(np.int32)], axis=1)
             )
+            skip |= {"fwd_comps", "fwd_vals"}
         if (self.doc_tile_scale is not None
                 and self.list_post_start is not None):
             # per-list max posting value (u8 code 255 * row scale): the
@@ -398,7 +402,7 @@ class IndexArrays:
                 extra["super_scale"] = put(ss)
             # the packed tiles are superseded on device; keep HBM for the
             # aligned layout
-            skip = {"doc_tiles", "doc_tile_scale"}
+            skip |= {"doc_tiles", "doc_tile_scale"}
         return DeviceIndex(
             **{
                 f: (None if f in skip else put(getattr(self, f)))

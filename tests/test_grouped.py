@@ -404,6 +404,28 @@ def test_pool_mode_slot_and_window(setup):
                                 query_cut=10)
         assert _recall(i_t, gt_i) >= r_b - 0.02, ps
 
+    # csub=2 exercises the IN-KERNEL half of the stride max (pack_window
+    # rk=2: 128-aligned lane slices) plus the XLA remainder, and the
+    # approx final pool selection
+    from seismic_tpu.search.planner import PlannerContext
+
+    dev2 = arrays.to_device(pallas_tiles=True, tile_csub=2)
+    ctx2 = PlannerContext.from_arrays(arrays, csub=2)
+    st2 = GroupedParams(k=10, score_cut=64, pool=128, rescore=48,
+                        pool_mode="stride", pool_stride=8,
+                        pool_select="approx", compute_dtype="i8")
+    _, i_t2 = search_grouped(dev2, ctx2, q_comps, q_vals, st2,
+                             query_cut=10)
+    assert _recall(i_t2, gt_i) >= r_b - 0.02
+
+    # qloc_cut: a cheaper approximate projection (top-32 terms) with the
+    # exact rescore still at score_cut terms must track the exact pool
+    # (16 was measured too aggressive on this synthetic: recall -0.10)
+    qc32 = GroupedParams(k=10, score_cut=64, qloc_cut=32, pool=128,
+                         rescore=48, compute_dtype="i8")
+    _, i_q = search_grouped(dev, ctx, q_comps, q_vals, qc32, query_cut=10)
+    assert _recall(i_q, gt_i) >= r_b - 0.05
+
     s_gt, i_gt = exact_search_numpy(ds, q_comps, q_vals, k=50)
     exact_of = [
         {int(i): float(s) for s, i in zip(srow, irow)}
