@@ -35,6 +35,11 @@ from .kmeans import kmeans_blocking
 from .pruning import prune
 from .summaries import block_summaries, dequantize_u8, quantize_u8
 
+# Fixed V grid for per-list vocabulary-coverage metadata (vocab_csum):
+# coverage at these candidate local-vocab widths drives the upload-time
+# ladder class assignment (per-list adaptive V).
+VOCAB_CSUM_GRID = (128, 256, 512, 1024, 2048, 4096)
+
 
 def _fixed_size_blocking(n: int, block_size: int) -> np.ndarray:
     """Fixed-size block offsets. The reference lets the final block absorb
@@ -216,6 +221,7 @@ def build_index(
     # --- per-list local-vocab dense summaries + doc tiles (MXU fast path) -
     list_vocab = dense_summary = dense_scale = None
     doc_tiles = doc_tile_scale = ovf_comps = ovf_vals = None
+    vocab_rank = vocab_csum = None
     if layout.summary_vocab_cap > 0:
         (
             list_vocab,
@@ -225,6 +231,8 @@ def build_index(
             doc_tile_scale,
             ovf_comps,
             ovf_vals,
+            vocab_rank,
+            vocab_csum,
         ) = _build_dense_structures(
             dataset,
             summaries_per_block,
@@ -303,6 +311,8 @@ def build_index(
         doc_tile_scale=doc_tile_scale,
         tile_ovf_comps=ovf_comps2,
         tile_ovf_vals=ovf_vals,
+        vocab_rank=vocab_rank,
+        vocab_csum=vocab_csum,
         list_post_start=list_post_start,
         list_len=list_len,
         posting_block_local=np.concatenate(
@@ -542,6 +552,8 @@ def _build_native(
         doc_tile_scale=doc_tile_scale,
         tile_ovf_comps=ovf_comps_s,
         tile_ovf_vals=ovf_vals,
+        vocab_rank=res.get("vocab_rank"),
+        vocab_csum=res.get("vocab_csum"),
         list_post_start=list_post_start,
         list_len=list_len,
         posting_block_local=posting_block_local,
@@ -608,6 +620,13 @@ def _build_dense_structures(
     dense_scale = np.zeros(nbp, dtype=np.float32)
     doc_tiles = doc_tile_scale = None
     ovf_comps = ovf_vals = None
+    # vocab-ladder metadata (per-list adaptive V at upload time):
+    # vocab_rank[l, j] = importance rank (0 = highest summed doc value) of
+    # list_vocab[l, j]; vocab_csum[l, i] = fraction of the list's total
+    # term mass covered by its top-VOCAB_CSUM_GRID[i] terms. Both tiny;
+    # always emitted so any built index can be re-uploaded with a ladder.
+    vocab_rank = np.full((n_lists, v_cap), np.int16(32767), dtype=np.int16)
+    vocab_csum = np.zeros((n_lists, len(VOCAB_CSUM_GRID)), dtype=np.float32)
     if store_doc_tiles:
         n_post_pad = len(postings) + max_list_len
         doc_tiles = np.zeros((n_post_pad, v_cap), dtype=np.uint8)
@@ -638,10 +657,28 @@ def _build_dense_structures(
         sums = np.bincount(group, weights=v_s.astype(np.float64))
         if len(uniq_c) > v_cap:
             top = np.argpartition(-sums, v_cap)[:v_cap]
-            kept = np.sort(uniq_c[top])
+            kept_u = uniq_c[top]
+            kept_sums = sums[top]
         else:
-            kept = np.sort(uniq_c)
+            kept_u = uniq_c
+            kept_sums = sums
+        sort_pos = np.argsort(kept_u)
+        kept = kept_u[sort_pos]
         list_vocab[list_id, : len(kept)] = kept
+        # ladder metadata: importance rank per kept column + coverage of
+        # the list's total term mass at the fixed V grid
+        imp_order = np.argsort(-kept_sums[sort_pos], kind="stable")
+        rank = np.empty(len(kept), dtype=np.int16)
+        rank[imp_order] = np.arange(len(kept), dtype=np.int16)
+        vocab_rank[list_id, : len(kept)] = rank
+        total_mass = float(sums.sum())
+        if total_mass > 0:
+            desc = np.sort(sums)[::-1]
+            cum = np.cumsum(desc)
+            for i, gv in enumerate(VOCAB_CSUM_GRID):
+                vocab_csum[list_id, i] = float(
+                    cum[min(gv, len(cum)) - 1] / total_mass
+                )
 
         # ---- doc tiles: scatter each occurrence onto the local vocab ----
         if store_doc_tiles:
@@ -686,7 +723,7 @@ def _build_dense_structures(
         dense_scale[s : s + n] = scale
 
     return (list_vocab, dense_summary, dense_scale, doc_tiles,
-            doc_tile_scale, ovf_comps, ovf_vals)
+            doc_tile_scale, ovf_comps, ovf_vals, vocab_rank, vocab_csum)
 
 
 def _summary_csr(summaries):

@@ -81,7 +81,7 @@ def get_lib():
         lib.seismic_get_sizes.restype = None
         lib.seismic_get_sizes.argtypes = [p, p, p, p]
         lib.seismic_copy_out.restype = None
-        lib.seismic_copy_out.argtypes = [p] + [p] * 17
+        lib.seismic_copy_out.argtypes = [p] + [p] * 19
         lib.seismic_free.restype = None
         lib.seismic_free.argtypes = [p]
         _lib = lib
@@ -168,6 +168,8 @@ def native_build_lists(
             "list_vocab": np.empty((n_lists, v_cap), np.int32),
             "dense_summary": np.empty((total_blocks, v_cap), np.uint8),
             "dense_scale": np.empty(total_blocks, np.float32),
+            "vocab_rank": np.empty((n_lists, v_cap), np.int16),
+            "vocab_csum": np.empty((n_lists, 6), np.float32),
         }
         if build_tiles:
             out["doc_tiles"] = np.empty((total_postings, v_cap), np.uint8)
@@ -199,6 +201,8 @@ def native_build_lists(
             _ptr(out["doc_tile_scale"]),
             _ptr(out["ovf_comps"]),
             _ptr(out["ovf_vals"]),
+            _ptr(out["vocab_rank"]),
+            _ptr(out["vocab_csum"]),
         )
         return out
     finally:

@@ -78,7 +78,14 @@ struct ListResult {
   std::vector<float> doc_tile_scale;
   std::vector<i32> ovf_comps;           // [list_len, overflow]
   std::vector<uint16_t> ovf_vals;       // f16 bits [list_len, overflow]
+  // vocab-ladder metadata (mirrors build/builder.py): importance rank of
+  // each vocab column (0 = largest summed doc value; 32767 = PAD) and
+  // term-mass coverage at the fixed VOCAB_CSUM_GRID widths
+  std::vector<int16_t> vocab_rank;      // [v_cap] per list
+  std::vector<float> vocab_csum;        // [6] per list
 };
+
+static const i64 kVocabCsumGrid[6] = {128, 256, 512, 1024, 2048, 4096};
 
 // minimal f32 -> f16 (round-to-nearest-even via f32 bit tricks)
 inline uint16_t f32_to_f16(float f) {
@@ -191,6 +198,8 @@ void build_one_list(const Dataset& ds, const Config& cfg, i64 list_id,
   if (n == 0) {
     shard->list_n_blocks.push_back(0);
     for (i32 v = 0; v < cfg.v_cap; ++v) out.vocab.push_back(kPadComponent);
+    for (i32 v = 0; v < cfg.v_cap; ++v) out.vocab_rank.push_back(32767);
+    for (int gi = 0; gi < 6; ++gi) out.vocab_csum.push_back(0.f);
     return;
   }
 
@@ -374,6 +383,41 @@ void build_one_list(const Dataset& ds, const Config& cfg, i64 list_id,
   for (auto c : vocab) out.vocab.push_back(c);
   for (i64 v = static_cast<i64>(vocab.size()); v < cfg.v_cap; ++v) {
     out.vocab.push_back(kPadComponent);
+  }
+
+  // ---- 2b. ladder metadata: per-column importance rank + coverage ----
+  {
+    const i64 nv = static_cast<i64>(vocab.size());
+    std::vector<std::pair<double, i64>> kept(nv);  // (sum, vocab col)
+    for (i64 j = 0; j < nv; ++j) {
+      auto it = std::lower_bound(
+          pooled.begin(), pooled.end(), vocab[j],
+          [](const std::pair<i32, float>& a, i32 c) { return a.first < c; });
+      double s = (it != pooled.end() && it->first == vocab[j])
+                     ? comp_sums[static_cast<size_t>(it - pooled.begin())]
+                     : 0.0;
+      kept[j] = {s, j};
+    }
+    std::sort(kept.begin(), kept.end(),
+              [](const auto& a, const auto& b) { return a.first > b.first; });
+    std::vector<int16_t> rank(cfg.v_cap, 32767);
+    for (i64 r = 0; r < nv; ++r) {
+      rank[kept[r].second] = static_cast<int16_t>(r);
+    }
+    out.vocab_rank.insert(out.vocab_rank.end(), rank.begin(), rank.end());
+    std::vector<double> all(comp_sums);
+    std::sort(all.begin(), all.end(), std::greater<double>());
+    double total = 0;
+    for (double s : all) total += s;
+    double cum = 0;
+    i64 p = 0;
+    for (int gi = 0; gi < 6; ++gi) {
+      i64 lim = std::min<i64>(kVocabCsumGrid[gi],
+                              static_cast<i64>(all.size()));
+      for (; p < lim; ++p) cum += all[p];
+      out.vocab_csum.push_back(
+          total > 0 ? static_cast<float>(cum / total) : 0.f);
+    }
   }
 
   // ---- 3. per-block summaries (max-pool + selection + u8) ----------------
@@ -577,7 +621,8 @@ void seismic_copy_out(
     float* summary_min, float* summary_quant,
     i32* list_vocab, u8* dense_summary, float* dense_scale,
     u8* doc_tiles, float* doc_tile_scale,
-    i32* ovf_comps, uint16_t* ovf_vals) {
+    i32* ovf_comps, uint16_t* ovf_vals,
+    int16_t* vocab_rank, float* vocab_csum) {
   auto* h = static_cast<BuildHandle*>(handle);
   i64 p = 0, b = 0, s = 0, l = 0;
   for (auto& sh : h->shards) {
@@ -626,6 +671,14 @@ void seismic_copy_out(
                 sh.list_len.size() * sizeof(i32));
     std::memcpy(list_vocab + l * h->v_cap, a.vocab.data(),
                 a.vocab.size() * sizeof(i32));
+    if (vocab_rank) {
+      std::memcpy(vocab_rank + l * h->v_cap, a.vocab_rank.data(),
+                  a.vocab_rank.size() * sizeof(int16_t));
+    }
+    if (vocab_csum) {
+      std::memcpy(vocab_csum + l * 6, a.vocab_csum.data(),
+                  a.vocab_csum.size() * sizeof(float));
+    }
     l += static_cast<i64>(sh.list_n_blocks.size());
   }
 }

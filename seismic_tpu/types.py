@@ -83,6 +83,13 @@ class IndexArrays:
     # dense tile truncates)
     tile_ovf_comps: Optional[np.ndarray] = None  # int32 [total_postings_pad, O]
     tile_ovf_vals: Optional[np.ndarray] = None  # f16 [total_postings_pad, O]
+    # vocab-ladder metadata (per-list adaptive V at upload time):
+    # vocab_rank[l, j] = importance rank of list_vocab[l, j] within its
+    # list (0 = largest summed doc value; 32767 = PAD); vocab_csum[l, i] =
+    # coverage of the list's total term mass by its top-GRID[i] terms
+    # (grid: build.builder.VOCAB_CSUM_GRID)
+    vocab_rank: Optional[np.ndarray] = None  # int16 [n_lists, V]
+    vocab_csum: Optional[np.ndarray] = None  # f32 [n_lists, len(grid)]
 
     # --- block summaries: int8 sketch (experimental ranking mode) ---
     block_sketch: Optional[np.ndarray] = None  # int8 [n_blocks_pad, ds]
@@ -140,6 +147,8 @@ class IndexArrays:
             + nb(self.dense_scale)
             + nb(self.block_sketch)
             + nb(self.block_sketch_scale)
+            + nb(self.vocab_rank)
+            + nb(self.vocab_csum)
         )
         doc_tiles = (
             nb(self.doc_tiles)
@@ -207,6 +216,8 @@ class IndexArrays:
         "posting_block_local",
         "tile_ovf_comps",
         "tile_ovf_vals",
+        "vocab_rank",
+        "vocab_csum",
         "block_sketch",
         "block_sketch_scale",
         "doc_sketch",
@@ -316,7 +327,8 @@ class IndexArrays:
     # ------------------------------------------------------------- device
     def to_device(self, device=None, pallas_tiles: bool = False,
                   tile_csub: int = 1, super_summaries: bool = False,
-                  _aligned=None):
+                  _aligned=None, ladder: tuple = (),
+                  ladder_coverage: float = 0.995):
         """Upload all arrays to a device, returning a DeviceIndex pytree.
 
         With pallas_tiles=True (and doc tiles present) additionally builds
@@ -336,7 +348,9 @@ class IndexArrays:
             return jax.device_put(jnp.asarray(a), device)
 
         extra = {}
-        skip = set()
+        # ladder metadata is host-side (class assignment happens at prep
+        # time); never spend HBM on it
+        skip = {"vocab_rank", "vocab_csum"}
         fuse_fwd = (pallas_tiles and self.fwd_comps is not None
                     and self.fwd_val_min is None)
         if pallas_tiles and self.dim <= 32766:
@@ -379,8 +393,31 @@ class IndexArrays:
                 np.asarray(self.list_len),
             )
             extra["list_weight"] = put(lw)
-        if pallas_tiles and (self.doc_tiles is not None
-                             or _aligned is not None):
+        if ladder and self.doc_tiles is not None:
+            # vocab ladder: per-class tile pools at per-list adaptive V
+            # (search/ladder.py). Replaces the single aligned layout.
+            from .search.ladder import LadderClass, prepare_ladder
+
+            list_class, class_hosts = prepare_ladder(
+                self, ladder, coverage=ladder_coverage, csub=tile_csub
+            )
+            extra["ladder"] = tuple(
+                LadderClass(
+                    tiles=put(h["tiles"]),
+                    scale3d=put(h["scale3d"]),
+                    region_start=put(h["region_start"]),
+                    vocab16=put(h["vocab16"]),
+                    list_len=put(h["list_len"]),
+                    V=h["V"],
+                    ll_max=h["ll_max"],
+                    zero_region=h["zero_region"],
+                )
+                for h in class_hosts
+            )
+            extra["list_class"] = put(list_class.astype(np.int32))
+            skip |= {"doc_tiles", "doc_tile_scale"}
+        elif pallas_tiles and (self.doc_tiles is not None
+                               or _aligned is not None):
             if _aligned is not None:
                 tiles_i8, scale3d, region_start = _aligned
             else:
@@ -471,6 +508,13 @@ class DeviceIndex:
     # rescore gather is bound by gathered-row COUNT on this device, so one
     # fused gather replaces the separate comps+vals gathers (probe_r3b)
     fwd_fused: object = None
+    # vocab ladder (search/ladder.py): tuple of LadderClass pytrees (per-
+    # list adaptive local-vocab width) + per-list class assignment
+    ladder: object = None
+    list_class: object = None
+    # ladder metadata mirrors (unused on device; kept off)
+    vocab_rank: object = None
+    vocab_csum: object = None
     dim: int = 0
     n_docs: int = 0
     max_blocks_per_list: int = 0
