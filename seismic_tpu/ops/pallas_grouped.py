@@ -48,6 +48,8 @@ def score_grouped_pallas(
     # the slot-grid output is ~68% padding, so every downstream byte
     # saved here is a real byte. Requires pack_idx and
     # csub * SUB // pack_window % 128 == 0.
+    unroll: int = 1,  # work items per grid step (i8 path only); > 1
+    # switches the output to work-item-major [W_cap, M, STEP]
 ):
     """Returns UNMASKED scores f32 [G_cap, M, ll_max] (or packed int32
     [G_cap, M, ll_max // pack_window] with pack_idx); blocks not covered
@@ -79,8 +81,9 @@ def score_grouped_pallas(
         assert qloc.dtype == jnp.int8
         return _score_grouped_i8(
             doc_tiles_i8, tile_scale3d, qloc, work_region, work_g, work_s,
-            ll_max, interpret, csub, pack_idx, pack_window,
+            ll_max, interpret, csub, pack_idx, pack_window, unroll,
         )
+    assert unroll == 1, "unroll > 1 is i8-only"
     cdt = jnp.bfloat16 if compute_dtype == "bf16" else jnp.float32
 
     ROWS = csub * SUB
@@ -211,10 +214,10 @@ def _make_pack(ll_max: int, rows: int):
     idx_bits = max(1, (ll_max - 1).bit_length())
     mask = (1 << idx_bits) - 1
 
-    def pack(s, s_ref):
+    def pack(s, s_ref, w_item=None):
         import jax.experimental.pallas as pl
 
-        w = pl.program_id(0)
+        w = pl.program_id(0) if w_item is None else w_item
         bits = jax.lax.bitcast_convert_type(s, jnp.int32)
         col = (
             jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -237,12 +240,20 @@ def _score_grouped_i8(
     csub: int = 1,
     pack_idx: bool = False,
     pack_window: int = 1,
+    unroll: int = 1,
 ):
     """int8 x int8 -> int32 MXU variant (2x the bf16 rate on v5e; probed in
     harness/microbench_qloc.py). Returns scores in QUANTIZED qloc units —
     the caller multiplies by the per-pair qloc scale during regroup:
 
         score = qscale[pair] * tile_scale[row] * (q_i8 . (u8-128) + 128*sum(q_i8))
+
+    With `unroll` U > 1 the kernel processes U work items per grid step
+    (U-fold fewer grid steps — the per-step Mosaic overhead of ~0.5 us
+    dominated the round-2 kernel at bench shapes) and the output switches
+    to WORK-ITEM-MAJOR layout [W_cap, M, STEP]: item w's scores land in
+    row w (a group's items are consecutive, so the caller regroups via the
+    per-group item prefix sum; see grouped._item_regroup).
     """
     import jax
     import jax.numpy as jnp
@@ -254,6 +265,12 @@ def _score_grouped_i8(
     ROWS = csub * SUB
     pack = _make_pack(ll_max, ROWS) if pack_idx else None
     STEP = _check_pack_window(pack_idx, pack_window, ROWS)
+    if unroll > 1:
+        return _score_grouped_i8_item(
+            doc_tiles_i8, tile_scale3d, qloc_i8, work_region, work_g,
+            work_s, ll_max, interpret, csub, pack, pack_window, STEP,
+            unroll,
+        )
 
     def kernel(region_ref, g_ref, s_ref, tile_ref, scale_ref, qloc_ref,
                out_ref):
@@ -304,3 +321,96 @@ def _score_grouped_i8(
         out_shape=jax.ShapeDtypeStruct((G_cap, M, out_w), out_dtype),
         interpret=interpret,
     )(work_region, work_g, work_s, doc_tiles_i8, tile_scale3d, qloc_i8)
+
+
+def _score_grouped_i8_item(
+    doc_tiles_i8,
+    tile_scale3d,
+    qloc_i8,
+    work_region,
+    work_g,
+    work_s,
+    ll_max: int,
+    interpret: bool,
+    csub: int,
+    pack,  # pack(s, s_ref, w_item) -> packed int32, or None
+    pack_window: int,
+    STEP: int,
+    unroll: int,
+):
+    """U-way unrolled item-major scorer: grid (W_cap // U,), each step
+    DMAs U doc super-tiles (each with its own double-buffered BlockSpec
+    stream) and writes a (U, M, STEP) output block at row w*U. Returns
+    [W_cap, M, STEP] (packed int32 or f32)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    G_cap, M, V = qloc_i8.shape
+    W_cap = work_region.shape[0]
+    ROWS = csub * SUB
+    U = unroll
+    assert W_cap % U == 0, (W_cap, U)
+
+    def kernel(region_ref, g_ref, s_ref, *refs):
+        out_ref = refs[-1]
+        w = pl.program_id(0)
+        for u in range(U):
+            tile_ref = refs[3 * u]
+            scale_ref = refs[3 * u + 1]
+            qloc_ref = refs[3 * u + 2]
+            t = tile_ref[:] ^ jnp.int8(-128)
+            q = qloc_ref[0]
+            dot = jax.lax.dot_general(
+                q, t, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # [M, ROWS] i32
+            rowsum = jnp.sum(q.astype(jnp.int32), axis=1, keepdims=True)
+            s = (dot + 128 * rowsum).astype(jnp.float32)
+            out = s * scale_ref[0, 0, :][None, :]
+            if pack is not None:
+                out = _window_max(
+                    pack(out, s_ref, w * U + u), pack_window, STEP
+                )
+            out_ref[u] = out
+
+    in_specs = []
+    operands = []
+    for u in range(U):
+        in_specs.append(pl.BlockSpec(
+            (ROWS, V),
+            lambda w, region, g, s, u=u: (region[w * U + u], 0),
+            memory_space=pltpu.VMEM,
+        ))
+        operands.append(doc_tiles_i8)
+        in_specs.append(pl.BlockSpec(
+            (1, 8, ROWS),
+            lambda w, region, g, s, u=u: (region[w * U + u], 0, 0),
+            memory_space=pltpu.VMEM,
+        ))
+        operands.append(tile_scale3d)
+        in_specs.append(pl.BlockSpec(
+            (1, M, V),
+            lambda w, region, g, s, u=u: (g[w * U + u], 0, 0),
+            memory_space=pltpu.VMEM,
+        ))
+        operands.append(qloc_i8)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(W_cap // U,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (U, M, STEP),
+            lambda w, region, g, s: (w, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    out_dtype = jnp.int32 if pack is not None else jnp.float32
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((W_cap, M, STEP), out_dtype),
+        interpret=interpret,
+    )(work_region, work_g, work_s, *operands)

@@ -69,3 +69,83 @@ def project_qloc_pallas(
         out_shape=jax.ShapeDtypeStruct((V, P_cap), jnp.float32),
         interpret=interpret,
     )(vocabT, qcT, qvT)
+
+
+def project_qloc_residue(
+    vocabT,  # int16/int32 [V, P_cap] residue-R-ordered list vocabularies
+    qcbT,  # int32 [R * SCB, P_cap] residue-bucketed term ids (-2 padded)
+    qvbT,  # f32 [R * SCB, P_cap] term values (0 at padding)
+    qcT,  # int32 [SCP, P_cap] plain term ids (for the spill rows)
+    qvT,  # f32 [SCP, P_cap]
+    R: int,  # residue groups (layout: ops.pallas_tiles.residue_layout)
+    scb: int,  # bucket capacity (term slots per residue)
+    scq: int,  # real term slots in qcT to scan for spill rows
+    interpret: bool = False,
+):
+    """Residue-bucketed qloc projection: vocab slot group r is compared
+    against ONLY the query terms with `term % R == r`, and the spill
+    region (per-list residue-group overflow) against the full term list —
+    ~3x fewer VPU compare ops at V=1024 than project_qloc_pallas's full
+    scan (the round-2 qloc chain's dominant cost). Requires an index
+    uploaded with to_device(vocab_residue=R) and per-query tables from
+    grouped._residue_buckets. Returns qlocT f32 [V, P_cap].
+
+    Terms dropped by bucket overflow (> scb terms of one residue; value-
+    ordered, so only the smallest values drop) lose their tile-score
+    contribution exactly like out-of-vocab terms — the exact rescore tail
+    restores them for the returned top-k."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .pallas_tiles import residue_layout
+
+    V, P_cap = vocabT.shape
+    SCT = qcbT.shape[0]
+    SCP = qcT.shape[0]
+    assert SCT == R * scb, (SCT, R, scb)
+    assert P_cap % LANES == 0 and scq <= SCP
+    VRS, SPILL = residue_layout(V, R)
+    assert VRS % 8 == 0 and SPILL % 8 == 0
+
+    def kernel(vocab_ref, qcb_ref, qvb_ref, qc_ref, qv_ref, out_ref):
+        for r in range(R):
+            vb = vocab_ref[r * VRS:(r + 1) * VRS, :].astype(jnp.int32)
+            acc = jnp.zeros((VRS, LANES), jnp.float32)
+            for i in range(scb):
+                j = r * scb + i
+                c = qcb_ref[j:j + 1, :]
+                v = qvb_ref[j:j + 1, :]
+                acc = acc + jnp.where(vb == c, v, 0.0)
+            out_ref[r * VRS:(r + 1) * VRS, :] = acc
+        if SPILL:
+            vs = vocab_ref[R * VRS:, :].astype(jnp.int32)
+            acc = jnp.zeros((SPILL, LANES), jnp.float32)
+            for i in range(scq):
+                c = qc_ref[i:i + 1, :]
+                v = qv_ref[i:i + 1, :]
+                acc = acc + jnp.where(vs == c, v, 0.0)
+            out_ref[R * VRS:, :] = acc
+
+    grid = (P_cap // LANES,)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((V, LANES), lambda p: (0, p),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SCT, LANES), lambda p: (0, p),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SCT, LANES), lambda p: (0, p),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SCP, LANES), lambda p: (0, p),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SCP, LANES), lambda p: (0, p),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((V, LANES), lambda p: (0, p),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((V, P_cap), jnp.float32),
+        interpret=interpret,
+    )(vocabT, qcbT, qvbT, qcT, qvT)

@@ -148,6 +148,139 @@ def pallas_align_doc_tiles(arrays, ll_pad: int, csub: int = 1):
     return tiles.view(np.int8), scale3d, region_start.astype(np.int32)
 
 
+def residue_layout(V: int, R: int):
+    """Static column layout of a residue-R-ordered local vocabulary:
+    R groups of VRS slots (residue groups) + one SPILL region holding
+    each list's per-group overflow (compared against ALL query terms in
+    the kernel, so overflow costs compares, not recall). VRS is the
+    largest multiple of 8 (sublane alignment) with spill >= V/8.
+    Returns (VRS, spill)."""
+    assert V % 8 == 0
+    vrs = ((V - V // 8) // R) // 8 * 8
+    return vrs, V - R * vrs
+
+
+def residue_permute_arrays(arrays, R: int = 8):
+    """Reorder every list's local vocabulary (and the matching doc-tile /
+    dense-summary columns) into R STATIC residue groups of VRS slots plus
+    a spill region (residue_layout): group r holds the list's terms with
+    `term % R == r` in their original (importance) order; each group's
+    overflow goes to the spill region (importance-ordered across groups),
+    and only spill overflow drops terms (to the out-of-vocab path, like
+    vocab-width truncation — rare: term ids are uncorrelated with
+    `id % R`, so groups are near-uniform).
+
+    The residue-bucketed qloc kernel (ops/pallas_qloc.py::
+    project_qloc_residue) then compares each residue-group slot against
+    only the query terms of ITS residue, and only the spill slots against
+    the full term list — ~3x fewer VPU compare ops at V=1024 than the
+    full unrolled scan, which dominated the round-2 qloc chain (~12.5 ms
+    of a 48 ms batch).
+
+    Mutates a SHALLOW copy of `arrays` (new list_vocab / doc_tiles /
+    dense_summary buffers) and returns it."""
+    import dataclasses as _dc
+
+    from ..data.sparse import PAD_COMPONENT
+
+    lv = np.asarray(arrays.list_vocab)
+    n_lists, V = lv.shape
+    assert V % R == 0, (V, R)
+    VRS, SPILL = residue_layout(V, R)
+    valid = (lv >= 0) & (lv != PAD_COMPONENT)
+    res = np.where(valid, lv.astype(np.int64) % R, R)
+    perm_src = np.argsort(res, axis=1, kind="stable")  # [n_lists, V]
+    rs = np.take_along_axis(res, perm_src, axis=1)
+    col = np.broadcast_to(np.arange(V, dtype=np.int64), (n_lists, V))
+    new_grp = np.empty((n_lists, V), bool)
+    new_grp[:, 0] = True
+    np.not_equal(rs[:, 1:], rs[:, :-1], out=new_grp[:, 1:])
+    seg_start = np.maximum.accumulate(np.where(new_grp, col, 0), axis=1)
+    rank = col - seg_start
+    in_group = (rank < VRS) & (rs < R)
+    spilled = (rank >= VRS) & (rs < R)
+    # spill slots in importance order (perm_src = original importance col)
+    spill_key = np.where(spilled, perm_src, V + col)
+    spill_rank = np.empty((n_lists, V), np.int64)
+    np.put_along_axis(
+        spill_rank, np.argsort(spill_key, axis=1, kind="stable"),
+        col, axis=1,
+    )
+    dst = np.where(
+        in_group,
+        rs * VRS + rank,
+        np.where(
+            spilled & (spill_rank < SPILL),
+            R * VRS + spill_rank,
+            V,  # dropped
+        ),
+    )
+
+    # new vocab + per-list source-column map (V -> zero column)
+    new_vocab = np.full((n_lists, V + 1), -1, lv.dtype)
+    np.put_along_axis(
+        new_vocab, dst, np.take_along_axis(lv, perm_src, axis=1), axis=1
+    )
+    new_vocab = new_vocab[:, :V]
+    src_of_dst = np.full((n_lists, V + 1), V, np.int64)
+    np.put_along_axis(src_of_dst, dst, perm_src, axis=1)
+    src_of_dst = src_of_dst[:, :V]
+
+    out = _dc.replace(arrays) if _dc.is_dataclass(arrays) else arrays
+    out.list_vocab = new_vocab
+
+    list_len = np.asarray(arrays.list_len, np.int64)
+    post_start = np.asarray(arrays.list_post_start, np.int64)
+    tiles = np.asarray(arrays.doc_tiles)
+    new_tiles = np.zeros_like(tiles)
+    total = int(list_len.sum())
+    if total:
+        starts = np.zeros(len(list_len), dtype=np.int64)
+        np.cumsum(list_len[:-1], out=starts[1:])
+        row_of = np.repeat(post_start, list_len) + (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(starts, list_len)
+        )
+        list_of = np.repeat(
+            np.arange(n_lists, dtype=np.int64), list_len
+        )
+        src32 = src_of_dst.astype(np.int32)
+        CHUNK = max(1, (1 << 28) // (4 * V))  # ~256 MB index working set
+        for c0 in range(0, total, CHUNK):
+            c1 = min(c0 + CHUNK, total)
+            rows = row_of[c0:c1]
+            blk = tiles[rows]
+            ext = np.concatenate(
+                [blk, np.zeros((len(rows), 1), tiles.dtype)], axis=1
+            )
+            new_tiles[rows] = np.take_along_axis(
+                ext, src32[list_of[c0:c1]], axis=1
+            )
+    out.doc_tiles = new_tiles
+
+    if getattr(arrays, "dense_summary", None) is not None:
+        dsum = np.asarray(arrays.dense_summary)
+        nblk = np.asarray(arrays.list_n_blocks, np.int64)
+        bstart = np.asarray(arrays.list_block_start, np.int64)
+        new_dsum = np.zeros_like(dsum)
+        for li in range(n_lists):
+            nb_ = int(nblk[li])
+            if nb_ == 0:
+                continue
+            b0 = int(bstart[li])
+            src = src_of_dst[li]
+            blk = dsum[b0:b0 + nb_]
+            ext = np.concatenate(
+                [blk, np.zeros((nb_, 1), dsum.dtype)], axis=1
+            )
+            new_dsum[b0:b0 + nb_] = ext[:, src]
+        out.dense_summary = new_dsum
+
+    out.vocab_residue = R
+    out._residue_dropped = int(valid.sum() - (new_vocab >= 0).sum())
+    return out
+
+
 def super_tile_summaries(tiles_u8_or_i8, scale3d, csub: int):
     """Per-super-tile component-wise UPPER BOUNDS of the aligned doc
     tiles: ub[s, v] = max_r code[r, v] * scale[r] over the super-tile's

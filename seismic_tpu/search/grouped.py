@@ -83,6 +83,11 @@ class GroupedParams:
     # (An all-int16 kernel was probed and rejected: Mosaic on this device
     # does not support 16-bit vector compares — probe_r3b.)
     qloc_mode: str = "pallas"
+    # bucket capacity per residue group for the residue-bucketed qloc
+    # kernel (active when the index was uploaded with vocab_residue=R):
+    # R * residue_scb term slots total; overflow drops the bucket's
+    # smallest values only
+    residue_scb: int = 16
     # candidate-pool selection: "approx" = lax.approx_max_k (TPU PartialReduce,
     # several x faster than the full sort of lax.top_k; per-element recall
     # `pool_recall` on the PADDED row, which overwhelmingly drops tail-of-pool
@@ -124,6 +129,13 @@ class GroupedParams:
     # dedup the small exact-scored set — skips the pool-wide 3-operand
     # variadic sort, which is the costliest tail op on this device
     dedup_mode: str = "pre"
+    # work items per Pallas grid step (i8 path; power of two dividing
+    # W_cap). > 1 amortizes the ~0.5 us/step Mosaic overhead that
+    # dominated the round-2 kernel (W ~ 24K steps at bench shapes) and
+    # switches the kernel output to work-item-major [W_cap, M, STEP]
+    # (regrouped to pair order via the per-group item prefix sum).
+    # Supported with pool_mode "stride"/"hier"/"approx"/"exact".
+    kernel_unroll: int = 1
     # profiling: truncate the program after a stage ("qloc", "expand",
     # "kernel", "regroup", "pool", "prerank") and return that stage's
     # output — used by the harness to attribute fused-program time
@@ -219,6 +231,71 @@ def _register_device_plan():
 
 
 _register_device_plan()
+
+
+def _residue_buckets(top_c, top_v, R: int, scb: int):
+    """Per-query residue-bucketed term tables for the bucketed qloc
+    kernel: terms are grouped by `term % R` into R buckets of `scb`
+    slots, keeping value order (top_c/top_v arrive value-sorted, and the
+    secondary sort key preserves that), so bucket overflow drops only the
+    smallest values. Returns (qcb int32 [B, R*scb] with -2 padding, qvb
+    f32 [B, R*scb])."""
+    B, sc = top_c.shape
+    valid = (top_c != PAD_COMPONENT) & (top_c >= 0)
+    r_key = jnp.where(valid, top_c % R, R).astype(jnp.int32)
+    pos = jnp.broadcast_to(
+        jnp.arange(sc, dtype=jnp.int32), (B, sc)
+    )
+    rk_s, _, c_s, v_s = jax.lax.sort(
+        (r_key, pos, top_c.astype(jnp.int32), top_v),
+        dimension=1, num_keys=2,
+    )
+    new_grp = jnp.concatenate(
+        [jnp.ones((B, 1), bool), rk_s[:, 1:] != rk_s[:, :-1]], axis=1
+    )
+    seg_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(new_grp, pos, 0), axis=1
+    )
+    rank = pos - seg_start
+    dump = R * scb
+    dst = jnp.where((rank < scb) & (rk_s < R), rk_s * scb + rank, dump)
+    bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
+    qcb = jnp.full((B, dump + 1), -2, jnp.int32).at[bidx, dst].set(
+        c_s
+    )[:, :dump]
+    qvb = jnp.zeros((B, dump + 1), jnp.float32).at[bidx, dst].set(
+        v_s
+    )[:, :dump]
+    return qcb, qvb
+
+
+def _item_regroup(scores_item, plan, csub: int, NSUP: int):
+    """Regroup a work-item-major kernel output [W_cap, M, STEP] to pair
+    order [B*QC, NSUP*STEP]: a group's items are consecutive in the work
+    list, so pair (g, m) reads rows (w0[g] + s) * M + m, where w0 is the
+    per-group item prefix sum (recomputed from group_nrows — identical to
+    the planner's layout for both host and device-derived plans). Columns
+    past a pair's real item count land in a NEIGHBOR group's rows; they
+    are always masked downstream because their implied posting offset
+    s * ROWS >= nsup * ROWS >= pair_len."""
+    W_cap, M, STEP = scores_item.shape
+    nrows = plan.group_nrows
+    nsub = jnp.maximum(1, -(-nrows // SUB))
+    nsup = jnp.where(nrows > 0, -(-nsub // csub), 0).astype(jnp.int32)
+    w0 = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(nsup, dtype=jnp.int32)]
+    )[:-1]
+    slot = plan.pair_slot.reshape(-1)  # [P]
+    g_p = slot // M
+    m_p = slot % M
+    rows = (
+        (w0[g_p][:, None] + jnp.arange(NSUP, dtype=jnp.int32)[None, :]) * M
+        + m_p[:, None]
+    )  # [P, NSUP]
+    rows = jnp.clip(rows, 0, W_cap * M - 1)
+    P = slot.shape[0]
+    out = scores_item.reshape(W_cap * M, STEP)[rows]  # [P, NSUP, STEP]
+    return out.reshape(P, NSUP * STEP)
 
 
 def _ovf_correction(index: DeviceIndex, top_c, top_v, top_scores, safe_post):
@@ -472,7 +549,11 @@ def _grouped_impl(
     # (harness/profile_tiles.py measurement).
     scq = min(params.qloc_cut, sc) if params.qloc_cut > 0 else sc
     if params.qloc_mode == "pallas":
-        from ..ops.pallas_qloc import LANES, project_qloc_pallas
+        from ..ops.pallas_qloc import (
+            LANES,
+            project_qloc_pallas,
+            project_qloc_residue,
+        )
 
         P = B * QC
         P_cap = -(-P // LANES) * LANES
@@ -483,27 +564,58 @@ def _grouped_impl(
             vocabT = index.vocab16[pair_list_flat].T
         else:
             vocabT = index.list_vocab[pair_list_flat].astype(jnp.int32).T
-        # sublane-pad the term axis to a multiple of 8 (vocab PAD slots can
-        # only match qc PAD slots, whose value contribution is 0)
-        SCP = -(-scq // 8) * 8
-        qcT = jnp.broadcast_to(
-            top_c[:, None, :scq], (B, QC, scq)
-        ).reshape(P, scq).T  # [scq, P]
-        qvT = jnp.broadcast_to(
-            top_v[:, None, :scq], (B, QC, scq)
-        ).reshape(P, scq).T
-        if SCP > scq:
-            qcT = jnp.pad(qcT, ((0, SCP - scq), (0, 0)),
-                          constant_values=PAD_COMPONENT)
-            qvT = jnp.pad(qvT, ((0, SCP - scq), (0, 0)))
-        if P_cap > P:
-            vocabT = jnp.pad(vocabT, ((0, 0), (0, P_cap - P)))
-            qcT = jnp.pad(qcT, ((0, 0), (0, P_cap - P)),
-                          constant_values=PAD_COMPONENT)
-            qvT = jnp.pad(qvT, ((0, 0), (0, P_cap - P)))
-        qlocT = project_qloc_pallas(
-            vocabT, qcT, qvT, scq, interpret=interpret
-        )  # [V, P_cap] lane-major
+        R = index.vocab_residue
+        if R > 0:
+            # residue-bucketed projection: ~3x fewer in-kernel compares
+            qcb, qvb = _residue_buckets(
+                top_c[:, :scq], top_v[:, :scq], R, params.residue_scb
+            )
+            SCT = R * params.residue_scb
+            SCP = -(-scq // 8) * 8
+
+            def bc(a, W, fill):
+                t = jnp.broadcast_to(a[:, None, :], (B, QC, a.shape[1]))
+                t = t.reshape(P, a.shape[1]).T
+                if a.shape[1] < W:
+                    t = jnp.pad(t, ((0, W - a.shape[1]), (0, 0)),
+                                constant_values=fill)
+                if P_cap > P:
+                    t = jnp.pad(t, ((0, 0), (0, P_cap - P)),
+                                constant_values=fill)
+                return t
+
+            qcbT = bc(qcb, SCT, -2)
+            qvbT = bc(qvb, SCT, 0.0)
+            qcT = bc(top_c[:, :scq].astype(jnp.int32), SCP, -2)
+            qvT = bc(top_v[:, :scq], SCP, 0.0)
+            if P_cap > P:
+                vocabT = jnp.pad(vocabT, ((0, 0), (0, P_cap - P)))
+            qlocT = project_qloc_residue(
+                vocabT, qcbT, qvbT, qcT, qvT, R, params.residue_scb,
+                scq, interpret=interpret,
+            )  # [V, P_cap] lane-major
+        else:
+            # sublane-pad the term axis to a multiple of 8 (vocab PAD
+            # slots can only match qc PAD slots, whose value is 0)
+            SCP = -(-scq // 8) * 8
+            qcT = jnp.broadcast_to(
+                top_c[:, None, :scq], (B, QC, scq)
+            ).reshape(P, scq).T  # [scq, P]
+            qvT = jnp.broadcast_to(
+                top_v[:, None, :scq], (B, QC, scq)
+            ).reshape(P, scq).T
+            if SCP > scq:
+                qcT = jnp.pad(qcT, ((0, SCP - scq), (0, 0)),
+                              constant_values=PAD_COMPONENT)
+                qvT = jnp.pad(qvT, ((0, SCP - scq), (0, 0)))
+            if P_cap > P:
+                vocabT = jnp.pad(vocabT, ((0, 0), (0, P_cap - P)))
+                qcT = jnp.pad(qcT, ((0, 0), (0, P_cap - P)),
+                              constant_values=PAD_COMPONENT)
+                qvT = jnp.pad(qvT, ((0, 0), (0, P_cap - P)))
+            qlocT = project_qloc_pallas(
+                vocabT, qcT, qvT, scq, interpret=interpret
+            )  # [V, P_cap] lane-major
         if params.compute_dtype == "i8":
             # quantize LANE-MAJOR (per-pair = per-lane amax over
             # sublanes), then transpose the int8 array: a 4x cheaper
@@ -595,6 +707,15 @@ def _grouped_impl(
         # in-kernel share of the stride max (128-aligned lane slices, free
         # in Mosaic): shrinks the mostly-padding slot-grid output rk-fold
         rk = max(1, min(params.pool_stride, (csub * SUB) // 128))
+    item_major = params.kernel_unroll > 1
+    if item_major:
+        assert params.compute_dtype == "i8", "kernel_unroll is i8-only"
+        assert params.pool_mode in ("stride", "hier", "approx", "exact"), (
+            f"kernel_unroll unsupported with pool_mode={params.pool_mode}"
+        )
+        assert params.stream_frac >= 1.0, (
+            "kernel_unroll with stream_frac < 1 is unsupported"
+        )
     scores = score_grouped_pallas(
         index.doc_tiles_aligned,
         index.tile_scale3d,
@@ -609,10 +730,13 @@ def _grouped_impl(
         csub=csub,
         pack_idx=pack_idx,
         pack_window=rk,
+        unroll=params.kernel_unroll,
     )  # [G_cap, M, LLMAX] f32 (or packed int32 [G_cap, M, LLMAX // rk]
-    # when pool_mode is "window"/"stride")
+    # when pool_mode is "window"/"stride"; work-item-major [W_cap, M,
+    # STEP] when kernel_unroll > 1)
     if params.stop_after == "kernel":
         return scores, scores
+    NSUP_ALL = LLMAX // (csub * SUB)
 
     pool = min(params.pool if params.pool > 0 else 8 * k, QC * LLMAX)
     if pack_idx:
@@ -641,9 +765,14 @@ def _grouped_impl(
             ROWS = csub * SUB
             step_k = ROWS // rk
             Wk = LLMAX // rk
-            pw = scores.reshape(G_cap * M, Wk)[
-                plan.pair_slot.reshape(B * QC)
-            ].reshape(B, QC, Wk)
+            if item_major:
+                pw = _item_regroup(scores, plan, csub, NSUP_ALL).reshape(
+                    B, QC, Wk
+                )
+            else:
+                pw = scores.reshape(G_cap * M, Wk)[
+                    plan.pair_slot.reshape(B * QC)
+                ].reshape(B, QC, Wk)
             rx = max(1, min(params.pool_stride // rk, step_k // 32))
             if rx > 1:
                 S = Wk // step_k
@@ -784,9 +913,14 @@ def _grouped_impl(
 
     # ---- regroup score rows to query order (wide-row gather: HBM-speed
     # on this device) and pool per query, exactly like the round-1 tail ----
-    pv = scores.astype(jnp.float32).reshape(G_cap * M, LLMAX)[
-        plan.pair_slot.reshape(B * QC)
-    ].reshape(B, QC, LLMAX)
+    if item_major:
+        pv = _item_regroup(scores, plan, csub, NSUP_ALL).reshape(
+            B, QC, LLMAX
+        )
+    else:
+        pv = scores.astype(jnp.float32).reshape(G_cap * M, LLMAX)[
+            plan.pair_slot.reshape(B * QC)
+        ].reshape(B, QC, LLMAX)
     if pair_scale is not None:
         pv = pv * pair_scale.reshape(B, QC, 1)
     rows_ok = (

@@ -328,7 +328,8 @@ class IndexArrays:
     def to_device(self, device=None, pallas_tiles: bool = False,
                   tile_csub: int = 1, super_summaries: bool = False,
                   _aligned=None, ladder: tuple = (),
-                  ladder_coverage: float = 0.995):
+                  ladder_coverage: float = 0.995,
+                  vocab_residue: int = 0):
         """Upload all arrays to a device, returning a DeviceIndex pytree.
 
         With pallas_tiles=True (and doc tiles present) additionally builds
@@ -341,6 +342,22 @@ class IndexArrays:
         across shards before upload."""
         import jax
         import jax.numpy as jnp
+
+        if vocab_residue and getattr(self, "vocab_residue", 0) == 0:
+            # reorder list vocabularies (and tile columns) into static
+            # residue groups for the bucketed qloc kernel; upload-time
+            # only — the on-disk index stays residue-free
+            assert not ladder, (
+                "vocab_residue with ladder is not supported yet (the "
+                "ladder's vocab_rank metadata indexes the importance "
+                "column order)"
+            )
+            from .ops.pallas_tiles import residue_permute_arrays
+
+            return residue_permute_arrays(self, vocab_residue).to_device(
+                device, pallas_tiles, tile_csub, super_summaries,
+                _aligned, ladder, ladder_coverage,
+            )
 
         def put(a):
             if a is None:
@@ -452,6 +469,7 @@ class IndexArrays:
             max_block_len=self.max_block_len,
             max_list_len=self.max_list_len,
             tile_csub=tile_csub if pallas_tiles else 1,
+            vocab_residue=getattr(self, "vocab_residue", 0),
         )
 
 
@@ -522,6 +540,10 @@ class DeviceIndex:
     max_list_len: int = 0
     # subtiles per grouped-scorer work item (aligned-layout granularity)
     tile_csub: int = 1
+    # list vocabularies are residue-R ordered (R static groups of V/R
+    # slots; ops/pallas_tiles.py::residue_permute_arrays) — enables the
+    # bucketed qloc kernel. 0 = plain importance order.
+    vocab_residue: int = 0
 
 
 def _list_weights(doc_tile_scale, list_post_start, list_len):
@@ -547,13 +569,13 @@ def _register_device_index():
         for f in dataclasses.fields(DeviceIndex)
         if f.name
         not in ("dim", "n_docs", "max_blocks_per_list", "max_block_len",
-                "max_list_len", "tile_csub")
+                "max_list_len", "tile_csub", "vocab_residue")
     ]
 
     def flatten(d: DeviceIndex):
         children = tuple(getattr(d, f) for f in array_fields)
         aux = (d.dim, d.n_docs, d.max_blocks_per_list, d.max_block_len,
-               d.max_list_len, d.tile_csub)
+               d.max_list_len, d.tile_csub, d.vocab_residue)
         return children, aux
 
     def unflatten(aux, children):
@@ -566,6 +588,7 @@ def _register_device_index():
             max_block_len=aux[3],
             max_list_len=aux[4],
             tile_csub=aux[5],
+            vocab_residue=aux[6],
         )
 
     jax.tree_util.register_pytree_node(DeviceIndex, flatten, unflatten)

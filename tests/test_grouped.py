@@ -4,6 +4,8 @@ end-to-end parity with the round-1 tiles path / exact oracle.
 The Pallas kernel runs in Mosaic interpret mode on CPU here; on-TPU
 bit-equality is asserted by the bench preamble (bench.py)."""
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -357,6 +359,63 @@ def test_stream_budget_mode(setup):
 
 
 @pytest.mark.slow
+def test_kernel_unroll_item_major(setup):
+    """kernel_unroll > 1 (U work items per grid step, work-item-major
+    output + prefix-sum regroup) computes the same scores as the unrolled
+    grid — results must match the U=1 path exactly for deterministic pool
+    modes."""
+    ds, arrays, ctx, q_comps, q_vals, gt_i = setup
+    from seismic_tpu.search.planner import PlannerContext
+
+    for csub in (1, 2):
+        dev = arrays.to_device(pallas_tiles=True, tile_csub=csub)
+        ctxc = PlannerContext.from_arrays(arrays, csub=csub)
+        for pm in ("exact", "stride", "hier"):
+            base = GroupedParams(k=10, score_cut=64, pool=64, rescore=32,
+                                 compute_dtype="i8", pool_mode=pm)
+            un = GroupedParams(k=10, score_cut=64, pool=64, rescore=32,
+                               compute_dtype="i8", pool_mode=pm,
+                               kernel_unroll=2)
+            s_b, i_b = search_grouped(dev, ctxc, q_comps, q_vals, base,
+                                      query_cut=10)
+            s_u, i_u = search_grouped(dev, ctxc, q_comps, q_vals, un,
+                                      query_cut=10)
+            np.testing.assert_array_equal(i_u, i_b, err_msg=f"{pm}/{csub}")
+            np.testing.assert_allclose(s_u, s_b, rtol=1e-6,
+                                       err_msg=f"{pm}/{csub}")
+
+
+def test_vocab_residue_qloc(setup):
+    """Residue-ordered vocab + bucketed qloc kernel: same results as the
+    plain projection when no bucket overflows (scb >= sc covers every
+    term), and recall within tolerance at the production scb."""
+    ds, arrays, ctx, q_comps, q_vals, gt_i = setup
+    base = GroupedParams(k=10, score_cut=64, pool=64, rescore=32,
+                         compute_dtype="i8", pool_mode="exact")
+    dev = arrays.to_device(pallas_tiles=True)
+    s_b, i_b = search_grouped(dev, ctx, q_comps, q_vals, base,
+                              query_cut=10)
+
+    dev_r = arrays.to_device(pallas_tiles=True, vocab_residue=8)
+    assert dev_r.vocab_residue == 8
+    # scb=64 cannot overflow (64 terms total): only the per-list residue
+    # slot cap (V/R per group) may drop terms; tiny lists fit entirely
+    wide = dataclasses.replace(base, residue_scb=64)
+    s_r, i_r = search_grouped(dev_r, ctx, q_comps, q_vals, wide,
+                              query_cut=10)
+    assert _recall(i_r, gt_i) >= _recall(i_b, gt_i) - 0.02
+    # production bucket capacity
+    prod = dataclasses.replace(base, residue_scb=16)
+    _, i_p = search_grouped(dev_r, ctx, q_comps, q_vals, prod,
+                            query_cut=10)
+    assert _recall(i_p, gt_i) >= _recall(i_b, gt_i) - 0.03
+    # combined with the unrolled item-major kernel
+    both = dataclasses.replace(base, residue_scb=16, kernel_unroll=2)
+    _, i_u = search_grouped(dev_r, ctx, q_comps, q_vals, both,
+                            query_cut=10)
+    np.testing.assert_array_equal(i_u, i_p)
+
+
 def test_pool_mode_hier(setup):
     """Hierarchical pool (per-pair top-t + exact merge) must track the
     exact pool's recall closely."""
