@@ -217,7 +217,7 @@ def _class_pool(index, lc: LadderClass, plan, q_comps, top_c, top_v,
 
     from ..ops.pallas_grouped import score_grouped_pallas
     from ..ops.pallas_qloc import LANES, project_qloc_pallas
-    from .grouped import DevicePlan
+    from .grouped import DevicePlan, _item_regroup
 
     if isinstance(plan, DevicePlan):
         plan = plan.view()
@@ -263,7 +263,9 @@ def _class_pool(index, lc: LadderClass, plan, q_comps, top_c, top_v,
         plan.work_region, plan.work_g, plan.work_s,
         LLMAX, interpret=interpret, compute_dtype="i8",
         csub=csub, pack_idx=True, pack_window=rk,
-    )  # packed int32 [G_cap, M, LLMAX // rk]
+        unroll=params.kernel_unroll,
+    )  # packed int32 [G_cap, M, LLMAX // rk] (work-item-major
+    # [W_cap, M, ROWS // rk] when kernel_unroll > 1)
 
     # ---- stride pool, regroup-first ----
     idx_bits = max(1, (LLMAX - 1).bit_length())
@@ -271,9 +273,14 @@ def _class_pool(index, lc: LadderClass, plan, q_comps, top_c, top_v,
     ROWS = csub * SUB
     step_k = ROWS // rk
     Wk = LLMAX // rk
-    pw = scores.reshape(G_cap * M, Wk)[
-        plan.pair_slot.reshape(B * QC)
-    ].reshape(B, QC, Wk)
+    if params.kernel_unroll > 1:
+        pw = _item_regroup(scores, plan, csub, LLMAX // ROWS).reshape(
+            B, QC, Wk
+        )
+    else:
+        pw = scores.reshape(G_cap * M, Wk)[
+            plan.pair_slot.reshape(B * QC)
+        ].reshape(B, QC, Wk)
     rx = max(1, min(params.pool_stride // rk, step_k // 32))
     if rx > 1:
         S = Wk // step_k
@@ -286,7 +293,7 @@ def _class_pool(index, lc: LadderClass, plan, q_comps, top_c, top_v,
     s_row = (jnp.arange(NW, dtype=jnp.int32) // stepf) * ROWS
     off = pw & jnp.int32(imask)
     val = jax.lax.bitcast_convert_type(pw & jnp.int32(~imask), jnp.float32)
-    val = val * pair_scale[plan.pair_slot.reshape(B * QC)].reshape(B, QC, 1)
+    val = val * pair_scale.reshape(B, QC, 1)
     ok = (
         plan.pair_valid[:, :, None]
         & (s_row[None, None, :] < plan.pair_len[:, :, None])

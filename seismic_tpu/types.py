@@ -329,6 +329,7 @@ class IndexArrays:
                   tile_csub: int = 1, super_summaries: bool = False,
                   _aligned=None, ladder: tuple = (),
                   ladder_coverage: float = 0.995,
+                  _ladder_prepped=None,
                   vocab_residue: int = 0):
         """Upload all arrays to a device, returning a DeviceIndex pytree.
 
@@ -415,9 +416,12 @@ class IndexArrays:
             # (search/ladder.py). Replaces the single aligned layout.
             from .search.ladder import LadderClass, prepare_ladder
 
-            list_class, class_hosts = prepare_ladder(
-                self, ladder, coverage=ladder_coverage, csub=tile_csub
-            )
+            if _ladder_prepped is not None:
+                list_class, class_hosts = _ladder_prepped
+            else:
+                list_class, class_hosts = prepare_ladder(
+                    self, ladder, coverage=ladder_coverage, csub=tile_csub
+                )
             extra["ladder"] = tuple(
                 LadderClass(
                     tiles=put(h["tiles"]),

@@ -133,6 +133,13 @@ def test_ladder_search_recall(setup):
     _, i_l = search_ladder(dev, ctxs, q_comps, q_vals, lp, query_cut=10)
     assert _recall(i_l, gt_i) >= r_b - 0.02
 
+    # unrolled item-major kernel: identical results to U=1
+    import dataclasses
+
+    lpu = dataclasses.replace(lp, kernel_unroll=2)
+    _, i_u = search_ladder(dev, ctxs, q_comps, q_vals, lpu, query_cut=10)
+    np.testing.assert_array_equal(i_u, i_l)
+
     # per-class plans cover ALL selected pairs exactly once across classes
     from seismic_tpu.search.planner import plan_grouped
 
