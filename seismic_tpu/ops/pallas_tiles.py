@@ -310,3 +310,71 @@ def super_tile_summaries(tiles_u8_or_i8, scale3d, csub: int):
         )
         scales[s0:s1] = sc
     return codes, scales
+
+
+def hash_retile(arrays, V: int, chunk: int = 65536):
+    """Replace the per-list truncated-vocab doc tiles with HASHED tiles:
+    column b of a posting row holds the SUM of that doc's values whose
+    component id hashes to b (comp mod V), u8-quantized per row.
+
+    Motivation (round 3): the truncated tiles drop every doc term outside
+    the list's top-V vocabulary — at 1M docs that bounds candidate recall
+    at ~0.95 (SCALE_BENCH.json) because a 400-posting list spans tens of
+    thousands of distinct terms. Hashing drops NOTHING: every true
+    query-term match contributes fully, and collisions only ADD mass
+    (SPLADE values are non-negative), so hashed pool scores are upper
+    bounds — surplus candidates are killed by the exact rescore, missing
+    candidates cannot happen from truncation. It also collapses the query
+    projection from one row per (query, list) PAIR to one row per QUERY
+    (the hash is list-independent), removing the dominant qloc gather.
+    Reference analogy: the reference's block summaries are also inflated
+    upper-bound sketches (quantized_summary.rs:289-406); this applies the
+    same economics at per-posting granularity, TPU-style.
+
+    Returns a NEW IndexArrays with doc_tiles/doc_tile_scale replaced
+    (fields share memory with the input except the tiles). The device
+    upload must set to_device(tile_hash=V) so the grouped path hashes the
+    query instead of projecting it per pair."""
+    import dataclasses as _dc
+
+    from ..data.sparse import PAD_COMPONENT as _PAD
+
+    assert V % 128 == 0, "hashed tile width must be lane-aligned"
+    fc = np.asarray(arrays.fwd_comps)
+    n_docs, W = fc.shape
+    mask = fc != _PAD
+    vals = np.asarray(arrays.fwd_vals).astype(np.float32)
+    if arrays.fwd_val_step is not None:
+        vals = (vals * np.asarray(arrays.fwd_val_step)[:, None]
+                + np.asarray(arrays.fwd_val_min)[:, None])
+    vals = np.where(mask, vals, 0.0)
+    cols = np.where(mask, fc % V, 0).astype(np.int64)
+
+    # hashed doc matrix (chunked bincount: PAD slots carry 0.0 weight)
+    H = np.zeros((n_docs, V), np.float32)
+    for s in range(0, n_docs, chunk):
+        e = min(n_docs, s + chunk)
+        r = np.repeat(np.arange(e - s, dtype=np.int64), W)
+        flat = r * V + cols[s:e].reshape(-1)
+        H[s:e] = np.bincount(
+            flat, weights=vals[s:e].reshape(-1), minlength=(e - s) * V
+        ).reshape(e - s, V)
+
+    lps = np.asarray(arrays.list_post_start, np.int64)
+    ll = np.asarray(arrays.list_len, np.int64)
+    total = int((lps + ll).max()) if len(lps) else 0
+    if arrays.doc_tiles is not None:
+        n_rows = arrays.doc_tiles.shape[0]
+    else:
+        n_rows = total + arrays.max_block_len + arrays.max_list_len
+    posts = np.asarray(arrays.postings)
+    tiles = np.zeros((n_rows, V), np.uint8)
+    scale = np.zeros(n_rows, np.float32)
+    for s in range(0, total, chunk):
+        e = min(total, s + chunk)
+        rows = H[posts[s:e]]
+        mx = rows.max(axis=1)
+        sc = np.maximum(mx, 1e-20) / 255.0
+        tiles[s:e] = np.round(rows / sc[:, None]).astype(np.uint8)
+        scale[s:e] = np.where(mx > 0, sc, 0.0)
+    return _dc.replace(arrays, doc_tiles=tiles, doc_tile_scale=scale)

@@ -522,7 +522,7 @@ def _grouped_impl(
         plan = plan.view()  # packed buffer -> named trace-time slices
     B, Q = q_comps.shape
     G_cap, M = plan.slot_b.shape
-    V = index.list_vocab.shape[1]
+    V = index.tile_hash or index.list_vocab.shape[1]
     n_docs = index.n_docs
     k = params.k
     csub = index.tile_csub
@@ -548,7 +548,49 @@ def _grouped_impl(
     # grid with a wide-row gather, which runs at HBM speed on this device
     # (harness/profile_tiles.py measurement).
     scq = min(params.qloc_cut, sc) if params.qloc_cut > 0 else sc
-    if params.qloc_mode == "pallas":
+    slot_src = plan.slot_pair
+    if index.tile_hash:
+        # ---- hashed tiles: ONE projection row per QUERY ----
+        # tile columns are hash buckets (comp mod V), so the query's
+        # bucket vector is list-independent: q_hash[b] = sum of query
+        # values whose term hashes to b. This removes the [P, V] per-pair
+        # vocabulary gather AND shrinks the projection kernel B*QC-fold
+        # (the qloc chain was ~24% of the batch at the 100K bench shape).
+        from ..ops.pallas_qloc import LANES, project_qloc_pallas
+
+        B_cap = -(-B // LANES) * LANES
+        iota_v = jax.lax.broadcasted_iota(jnp.int32, (V, B_cap), 0)
+        qch = jnp.where(top_c[:, :scq] == PAD_COMPONENT, PAD_COMPONENT,
+                        top_c[:, :scq] % V)
+        SCP = -(-scq // 8) * 8
+        qcT = qch.T  # [scq, B]
+        qvT = top_v[:, :scq].T
+        if SCP > scq:
+            qcT = jnp.pad(qcT, ((0, SCP - scq), (0, 0)),
+                          constant_values=PAD_COMPONENT)
+            qvT = jnp.pad(qvT, ((0, SCP - scq), (0, 0)))
+        if B_cap > B:
+            qcT = jnp.pad(qcT, ((0, 0), (0, B_cap - B)),
+                          constant_values=PAD_COMPONENT)
+            qvT = jnp.pad(qvT, ((0, 0), (0, B_cap - B)))
+        qlocT = project_qloc_pallas(iota_v, qcT, qvT, scq,
+                                    interpret=interpret)  # [V, B_cap]
+        slot_src = plan.slot_pair // QC  # slot -> query row
+        if params.compute_dtype == "i8":
+            amaxT = jnp.max(jnp.abs(qlocT), axis=0, keepdims=True)
+            qscaleT = jnp.maximum(amaxT, 1e-20) / 127.0  # [1, B_cap]
+            q_i8 = jnp.round(qlocT / qscaleT).astype(jnp.int8).T[:B]
+            qloc_pairs = None
+            # per-query scale, broadcast to the pair grid all downstream
+            # consumers index (pair-major [B*QC] / slot gathers)
+            pair_scale = jnp.broadcast_to(
+                qscaleT[0, :B, None], (B, QC)
+            ).reshape(B * QC)
+        else:
+            qloc_pairs = qlocT.T[:B]  # [B, V]
+        if params.stop_after == "qloc":
+            return qlocT, qlocT
+    elif params.qloc_mode == "pallas":
         from ..ops.pallas_qloc import (
             LANES,
             project_qloc_pallas,
@@ -645,16 +687,17 @@ def _grouped_impl(
     if params.compute_dtype == "i8":
         # the kernel runs an i8 x i8 -> i32 MXU matmul (2x bf16 rate);
         # the per-pair scale is re-applied in the regroup below.
-        # Expansion traffic drops 4x vs f32 qloc.
-        qloc = q_i8[plan.slot_pair].reshape(G_cap, M, V)
+        # Expansion traffic drops 4x vs f32 qloc. (hashed tiles: slot_src
+        # maps slots to per-QUERY projection rows instead of pair rows)
+        qloc = q_i8[slot_src].reshape(G_cap, M, V)
         qsum = None
     else:
-        qloc = qloc_pairs[plan.slot_pair].reshape(G_cap, M, V)
+        qloc = qloc_pairs[slot_src].reshape(G_cap, M, V)
         # lane-replicated 128 * sum_v qloc for the centered-tile correction
         # (full csub*128 lane width; see pallas_grouped qsum note)
-        qsum_pairs = 128.0 * jnp.sum(qloc_pairs, axis=-1)  # [P]
+        qsum_pairs = 128.0 * jnp.sum(qloc_pairs, axis=-1)  # [P] (or [B])
         qsum = jnp.broadcast_to(
-            qsum_pairs[plan.slot_pair].reshape(G_cap, M, 1),
+            qsum_pairs[slot_src].reshape(G_cap, M, 1),
             (G_cap, M, csub * 128),
         )
         pair_scale = None

@@ -330,7 +330,8 @@ class IndexArrays:
                   _aligned=None, ladder: tuple = (),
                   ladder_coverage: float = 0.995,
                   _ladder_prepped=None,
-                  vocab_residue: int = 0):
+                  vocab_residue: int = 0,
+                  tile_hash: int = 0):
         """Upload all arrays to a device, returning a DeviceIndex pytree.
 
         With pallas_tiles=True (and doc tiles present) additionally builds
@@ -371,12 +372,17 @@ class IndexArrays:
         skip = {"vocab_rank", "vocab_csum"}
         fuse_fwd = (pallas_tiles and self.fwd_comps is not None
                     and self.fwd_val_min is None)
+        if tile_hash:
+            assert self.doc_tiles is not None and (
+                self.doc_tiles.shape[1] == tile_hash
+            ), "tile_hash requires hash_retile'd doc tiles of that width"
         if pallas_tiles and self.dim <= 32766:
             # int16 twins of the gather-heavy id arrays (PAD -> -1): the
             # grouped path's vocab + forward-row gathers run at ~25 GB/s
             # effective on this device, so halving their bytes halves two
             # of the three dominant tail stages (round-3 profile_r3).
-            if self.list_vocab is not None:
+            # (hashed tiles never read the vocab: skip its device twin)
+            if self.list_vocab is not None and not tile_hash:
                 lv = np.asarray(self.list_vocab)
                 extra["vocab16"] = put(
                     np.where(lv == PAD_COMPONENT, -1, lv).astype(np.int16)
@@ -474,6 +480,7 @@ class IndexArrays:
             max_list_len=self.max_list_len,
             tile_csub=tile_csub if pallas_tiles else 1,
             vocab_residue=getattr(self, "vocab_residue", 0),
+            tile_hash=tile_hash,
         )
 
 
@@ -548,6 +555,11 @@ class DeviceIndex:
     # slots; ops/pallas_tiles.py::residue_permute_arrays) — enables the
     # bucketed qloc kernel. 0 = plain importance order.
     vocab_residue: int = 0
+    # doc tiles are HASHED (column = comp mod tile_hash, collisions
+    # summed; ops/pallas_tiles.py::hash_retile). The grouped path then
+    # hashes the QUERY once per query instead of projecting it per
+    # (query, list) pair. 0 = truncated local-vocab tiles.
+    tile_hash: int = 0
 
 
 def _list_weights(doc_tile_scale, list_post_start, list_len):
@@ -573,13 +585,13 @@ def _register_device_index():
         for f in dataclasses.fields(DeviceIndex)
         if f.name
         not in ("dim", "n_docs", "max_blocks_per_list", "max_block_len",
-                "max_list_len", "tile_csub", "vocab_residue")
+                "max_list_len", "tile_csub", "vocab_residue", "tile_hash")
     ]
 
     def flatten(d: DeviceIndex):
         children = tuple(getattr(d, f) for f in array_fields)
         aux = (d.dim, d.n_docs, d.max_blocks_per_list, d.max_block_len,
-               d.max_list_len, d.tile_csub, d.vocab_residue)
+               d.max_list_len, d.tile_csub, d.vocab_residue, d.tile_hash)
         return children, aux
 
     def unflatten(aux, children):
@@ -593,6 +605,7 @@ def _register_device_index():
             max_list_len=aux[4],
             tile_csub=aux[5],
             vocab_residue=aux[6],
+            tile_hash=aux[7],
         )
 
     jax.tree_util.register_pytree_node(DeviceIndex, flatten, unflatten)
