@@ -53,6 +53,9 @@ BASELINE_QPS = 1e6 / 185.0  # reference single-thread CPU AQT
 V_CAP = int(os.environ.get("BENCH_V_CAP", 1024))
 TILE_OVERFLOW = int(os.environ.get("BENCH_TILE_OVERFLOW", 64))
 CSUB = int(os.environ.get("BENCH_CSUB", 2))
+# "hash" = collision-summed mod-V doc tiles + per-query projection
+# (ops/pallas_tiles.py::hash_retile); "topv" = truncated local vocab
+TILE_MODE = os.environ.get("BENCH_TILE_MODE", "topv")
 
 # query_cut ladder for the grouped path (exhaustive scan of selected lists,
 # exact rescore of the top pool)
@@ -285,8 +288,34 @@ def main():
               "block_sketch", "block_sketch_scale", "doc_sketch",
               "doc_sketch_scale"):
         setattr(arrays, f, None)
+    tile_hash = 0
+    if TILE_MODE == "hash":
+        # hashed tiles: retile from the (cached) hashed dir if present,
+        # else hash on the fly (~90 s host at 100K)
+        from seismic_tpu.ops.pallas_tiles import hash_retile
+        from seismic_tpu.types import IndexArrays
+
+        hdir = os.path.join(
+            CACHE,
+            f"index_{N_DOCS}_{DIM}_{N_POSTINGS}_v{V_CAP}"
+            f"_o{TILE_OVERFLOW}_hash{V_CAP}.dir",
+        )
+        if os.path.isdir(hdir):
+            arrays = IndexArrays.load_dir(hdir)
+            for f in ("tile_ovf_comps", "tile_ovf_vals", "summary_comps",
+                      "summary_codes", "dense_summary", "dense_scale",
+                      "block_sketch", "block_sketch_scale", "doc_sketch",
+                      "doc_sketch_scale"):
+                setattr(arrays, f, None)
+            log(f"hashed index loaded: {hdir}")
+        else:
+            t0 = time.time()
+            arrays = hash_retile(arrays, V_CAP)
+            log(f"hash_retile: {time.time()-t0:.1f}s")
+        tile_hash = V_CAP
     t0 = time.time()
-    index = arrays.to_device(pallas_tiles=True, tile_csub=CSUB)
+    index = arrays.to_device(pallas_tiles=True, tile_csub=CSUB,
+                             tile_hash=tile_hash)
     ctx = PlannerContext.from_arrays(arrays, csub=CSUB)
     log(f"to_device+ctx: {time.time()-t0:.1f}s")
 
