@@ -187,6 +187,7 @@ class ShardedIndex:
         n_workers: int = 0,
         pallas_tiles: bool = False,
         tile_csub: int = 1,
+        tile_hash: int = 0,
     ) -> "ShardedIndex":
         """Split the collection into contiguous shards, build one index per
         shard (embarrassingly parallel, like the reference's per-list rayon
@@ -220,7 +221,8 @@ class ShardedIndex:
             shards = [build_one(s) for s in range(n_shards)]
         return ShardedIndex.from_shards(shards, offsets, mesh, n, config,
                                         pallas_tiles=pallas_tiles,
-                                        tile_csub=tile_csub)
+                                        tile_csub=tile_csub,
+                                        tile_hash=tile_hash)
 
     @staticmethod
     def from_shards(
@@ -231,8 +233,17 @@ class ShardedIndex:
         config: Optional[Configuration] = None,
         pallas_tiles: bool = False,
         tile_csub: int = 1,
+        tile_hash: int = 0,
     ) -> "ShardedIndex":
         shards = pad_shards_to_common_shapes(shards)
+        if tile_hash:
+            # hashed tiles per shard (common width => stackable); the
+            # grouped shard_map program hashes the query once per query,
+            # exactly like the single-chip path
+            assert pallas_tiles, "tile_hash requires pallas_tiles"
+            from ..ops.pallas_tiles import hash_retile
+
+            shards = [hash_retile(s, tile_hash) for s in shards]
         if pallas_tiles:
             # build each shard's aligned tile layout on host and pad to
             # common shapes (appended rows are zero — beyond every shard's
@@ -252,7 +263,7 @@ class ShardedIndex:
             ]
             devices = [
                 s.to_device(pallas_tiles=True, tile_csub=tile_csub,
-                            _aligned=a)
+                            _aligned=a, tile_hash=tile_hash)
                 for s, a in zip(shards, aligned)
             ]
         else:

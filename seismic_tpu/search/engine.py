@@ -474,6 +474,12 @@ def _search_impl(
     safe_lists = jnp.where(sel_valid, list_ids, 0).astype(jnp.int32)
 
     if params.doc_mode == "tiles":
+        if getattr(index, "tile_hash", 0):
+            raise ValueError(
+                "doc_mode='tiles' reads per-list-vocab tiles; this index "
+                "was uploaded with HASHED tiles (tile_hash set) — use the "
+                "grouped path (search_grouped*), which hashes the query"
+            )
         return _tiles_search(
             index, params, q_comps, q_vals, safe_lists, sel_valid,
             heap_factor,

@@ -134,3 +134,51 @@ def test_hash_search_recall(setup):
     _, i_f = search_grouped(devh, ctxh, q_comps, q_vals, hpf,
                             query_cut=10)
     assert _recall(i_f, gt_i) >= r_b - 0.03
+
+
+@pytest.mark.slow
+def test_sharded_hash_tiles():
+    """Doc-sharded grouped search over HASHED tiles (tile_hash plumbed
+    through ShardedIndex.build) must track the single-index hashed run:
+    the query hash is shard-independent, so per-shard pools merge exactly
+    like the truncated-tile path."""
+    from seismic_tpu.parallel.mesh import make_mesh
+    from seismic_tpu.parallel.sharded import ShardedIndex
+
+    rng = np.random.default_rng(3)
+    from tests.conftest import make_random_dataset as mkds
+    from tests.conftest import make_random_queries as mkq
+
+    ds = mkds(rng, n_docs=240, dim=400, min_nnz=10, max_nnz=30, seed=21)
+    cfg = Configuration(layout=TpuLayout(max_block_len=16,
+                                         summary_vocab_cap=256))
+    qc, qv = mkq(np.random.default_rng(4), n_queries=8, dim=400,
+                 min_nnz=6, max_nnz=20)
+    q_comps, q_vals = pad_queries(qc, qv, 64)
+    gp = GroupedParams(k=10, score_cut=64, pool=64, rescore=32,
+                       compute_dtype="i8", pool_mode="stride",
+                       pool_stride=4)
+
+    from seismic_tpu.ops.pallas_tiles import hash_retile
+
+    arrays = build_index(ds, cfg)
+    ha = hash_retile(arrays, 128)
+    dev = ha.to_device(pallas_tiles=True, tile_hash=128)
+    ctx = PlannerContext.from_arrays(ha)
+    s_ref, i_ref = search_grouped(dev, ctx, q_comps, q_vals, gp,
+                                  query_cut=8)
+
+    mesh = make_mesh(n_docs_shards=4, n_data=1)
+    sharded = ShardedIndex.build(ds, mesh, cfg, pallas_tiles=True,
+                                 tile_hash=128)
+    s_sh, i_sh = sharded.search_batch_grouped(q_comps, q_vals, gp,
+                                              query_cut=8)
+    for b in range(len(i_ref)):
+        ref = {int(d): float(s) for s, d in zip(s_ref[b], i_ref[b])
+               if d >= 0}
+        got = {int(d): float(s) for s, d in zip(s_sh[b], i_sh[b])
+               if d >= 0}
+        shared = set(ref) & set(got)
+        assert len(shared) >= 5
+        for d in shared:
+            assert abs(ref[d] - got[d]) < 1e-3 * max(1.0, abs(ref[d]))
