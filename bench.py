@@ -54,8 +54,12 @@ V_CAP = int(os.environ.get("BENCH_V_CAP", 1024))
 TILE_OVERFLOW = int(os.environ.get("BENCH_TILE_OVERFLOW", 64))
 CSUB = int(os.environ.get("BENCH_CSUB", 2))
 # "hash" = collision-summed mod-V doc tiles + per-query projection
-# (ops/pallas_tiles.py::hash_retile); "topv" = truncated local vocab
+# (ops/pallas_tiles.py::hash_retile); "topv" = truncated local vocab;
+# "block" = memory-lean block-summary pooling (block_pool_arrays +
+# GroupedParams.block_expand: no per-posting tile replication on device)
 TILE_MODE = os.environ.get("BENCH_TILE_MODE", "topv")
+BLOCK_V = int(os.environ.get("BENCH_BLOCK_V", 512))
+BLOCK_POOL = int(os.environ.get("BENCH_BLOCK_POOL", 32))
 
 # query_cut ladder for the grouped path (exhaustive scan of selected lists,
 # exact rescore of the top pool)
@@ -260,6 +264,12 @@ def pallas_gate():
 def main():
     t_all = time.time()
     import jax
+
+    # BENCH_PLATFORM=cpu forces the CPU backend for offline smoke runs
+    # (the axon TPU plugin overrides the JAX_PLATFORMS env var, and
+    # jax.devices() hangs machine-wide when the tunnel is down)
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
     import jax.numpy as jnp
 
     log(f"devices: {jax.devices()}")
@@ -272,7 +282,9 @@ def main():
     )
     from seismic_tpu.search.planner import PlannerContext, plan_grouped
 
-    gate = pallas_gate()
+    # BENCH_SKIP_GATE=1 skips the Pallas-vs-XLA gate (CPU smoke runs /
+    # fast iteration; the driver's real runs keep it on)
+    gate = None if os.environ.get("BENCH_SKIP_GATE") else pallas_gate()
 
     ds = get_dataset()
     arrays, index_base = get_index(ds)
@@ -280,15 +292,31 @@ def main():
     gt_ids = get_ground_truth(ds, q_comps, q_vals)
 
     space = arrays.space_usage_report()
-    # the grouped + rescore path never reads the overflow entries, CSR/
-    # dense summaries, or sketches — skip ~1.9 GB of upload + HBM (space
-    # is reported from the full on-disk index above)
-    for f in ("tile_ovf_comps", "tile_ovf_vals", "summary_comps",
-              "summary_codes", "dense_summary", "dense_scale",
-              "block_sketch", "block_sketch_scale", "doc_sketch",
-              "doc_sketch_scale"):
-        setattr(arrays, f, None)
+
+    def strip_unused(a):
+        # the grouped + rescore path never reads the overflow entries,
+        # CSR/dense summaries, or sketches — skip ~1.9 GB of upload + HBM
+        # (space is reported from the full on-disk index above)
+        for f in ("tile_ovf_comps", "tile_ovf_vals", "summary_comps",
+                  "summary_codes", "dense_summary", "dense_scale",
+                  "block_sketch", "block_sketch_scale", "doc_sketch",
+                  "doc_sketch_scale"):
+            setattr(a, f, None)
+
     tile_hash = 0
+    if TILE_MODE == "block":
+        # memory-lean configuration: hashed BLOCK-summary tiles (one row
+        # per k-means block) + block_expand exact rescore. Needs the
+        # summary arrays, so the retile runs BEFORE stripping.
+        from seismic_tpu.ops.pallas_tiles import block_pool_arrays
+
+        t0 = time.time()
+        arrays = block_pool_arrays(arrays, BLOCK_V)
+        strip_unused(arrays)
+        log(f"block_pool_arrays(V={BLOCK_V}): {time.time()-t0:.1f}s")
+        tile_hash = BLOCK_V
+    else:
+        strip_unused(arrays)
     if TILE_MODE == "hash":
         # hashed tiles: retile from the (cached) hashed dir if present,
         # else hash on the fly (~90 s host at 100K)
@@ -318,10 +346,24 @@ def main():
                              tile_hash=tile_hash)
     ctx = PlannerContext.from_arrays(arrays, csub=CSUB)
     log(f"to_device+ctx: {time.time()-t0:.1f}s")
+    device_bytes = int(sum(
+        x.nbytes for x in jax.tree.leaves(index) if hasattr(x, "nbytes")
+    ))
+    log(f"device HBM bytes: {device_bytes/1e9:.2f} GB (tile_mode="
+        f"{TILE_MODE})")
 
-    gp = GroupedParams(k=K, score_cut=64, pool=64, rescore=48,
-                       compute_dtype="i8", pool_mode="hier",
-                       pool_per_pair=16, kernel_unroll=8)
+    if TILE_MODE == "block":
+        # pool BLOCKS, expand every member posting into the exact rescore
+        # (max_block_len=32 in the bench build config)
+        gp = GroupedParams(k=K, score_cut=64, pool=BLOCK_POOL,
+                           block_expand=int(arrays.max_block_len),
+                           compute_dtype="i8", pool_mode="hier",
+                           pool_per_pair=max(4, BLOCK_POOL // 4),
+                           kernel_unroll=8)
+    else:
+        gp = GroupedParams(k=K, score_cut=64, pool=64, rescore=48,
+                           compute_dtype="i8", pool_mode="hier",
+                           pool_per_pair=16, kernel_unroll=8)
     n_batches = max(1, N_QUERIES // BATCH)
 
     def run_rung(query_cut, B, n_b, params=gp, ix=None):
@@ -349,7 +391,8 @@ def main():
     for query_cut in QC_LADDER:
         ids, plan = run_rung(query_cut, BATCH, n_batches)
         rec = recall_at_k(ids, gt_ids)
-        streamed_kb = plan.W * CSUB * 128 * V_CAP / BATCH / 1e3
+        tile_w = int(arrays.doc_tiles.shape[1])
+        streamed_kb = plan.W * CSUB * 128 * tile_w / BATCH / 1e3
         log(f"qc={query_cut}: recall@10={rec:.4f} "
             f"streamed/query={streamed_kb:.0f}KB W={plan.W}")
         rungs.append((query_cut, rec, streamed_kb))
@@ -493,9 +536,14 @@ def main():
         index_knn = dataclasses.replace(
             index, knn=jax.device_put(jnp.asarray(arrays.knn))
         )
-        gp_knn = GroupedParams(k=K, score_cut=64, pool=64, rescore=48,
-                               compute_dtype="i8", pool_mode="approx",
-                               n_knn=8)
+        import dataclasses as _dcl
+
+        if TILE_MODE == "block":
+            gp_knn = _dcl.replace(gp, pool_mode="approx", n_knn=8)
+        else:
+            gp_knn = GroupedParams(k=K, score_cut=64, pool=64, rescore=48,
+                                   compute_dtype="i8", pool_mode="approx",
+                                   n_knn=8)
         qc_rung = 14
         gc, wc = plan_caps(q_comps[:1024], q_vals[:1024], ctx, qc_rung,
                            M=8)
@@ -555,6 +603,8 @@ def main():
             "sync) — the hardware latency a co-located host would see"
         ),
         "index_bytes": space,
+        "device_bytes": device_bytes,
+        "tile_mode": TILE_MODE,
         "knn_rung": knn_rung,
         "pallas_gate": gate,
     }

@@ -378,3 +378,74 @@ def hash_retile(arrays, V: int, chunk: int = 65536):
         tiles[s:e] = np.round(rows / sc[:, None]).astype(np.uint8)
         scale[s:e] = np.where(mx > 0, sc, 0.0)
     return _dc.replace(arrays, doc_tiles=tiles, doc_tile_scale=scale)
+
+
+def block_pool_arrays(arrays, V: int, chunk: int = 262144):
+    """A blocks-as-rows VIEW of the index for the grouped scorer: hashed
+    BLOCK-SUMMARY tiles replace the per-posting doc tiles, and the list
+    geometry fields are remapped so one "posting row" = one block.
+
+    This is the memory-lean configuration (VERDICT r2 item 3): device
+    state is forward index + postings + block arrays + [n_blocks, V]
+    hashed summaries — no per-posting tile replication. The grouped
+    pipeline runs UNCHANGED over the block rows (the planner sees
+    list_len = blocks-per-list); search_grouped's `block_expand` tail
+    then expands each pooled block into its member postings and
+    exact-rescores them — the TPU analogue of the reference's
+    summary-skip + evaluate_posting_block economics
+    (posting_list.rs:115-215), with the sequential heap threshold
+    replaced by a fixed per-pair block pool.
+
+    Summary entries decode as min + code * quant (build/summaries.py);
+    hashing sums them into V buckets per block (upper-bound-ish sketch,
+    exactly like the doc-tile hash).
+
+    Returns a new IndexArrays sharing every array except:
+      doc_tiles/doc_tile_scale -> hashed [nbp, V] u8 + scale
+      list_post_start          -> list_block_start
+      list_len                 -> list_n_blocks
+      max_list_len             -> max_blocks_per_list
+    (postings/block_start/block_len stay REAL: with
+    GroupedParams.block_expand the pool emits block ids directly and the
+    tail expands them through block_start/block_len into postings.)
+    """
+    import dataclasses as _dc
+
+    from ..data.sparse import PAD_COMPONENT as _PAD
+
+    assert V % 128 == 0
+    sc_comps = np.asarray(arrays.summary_comps)
+    sc_codes = np.asarray(arrays.summary_codes)
+    s_min = np.asarray(arrays.summary_min, np.float32)
+    s_quant = np.asarray(arrays.summary_quant, np.float32)
+    nbp, S = sc_comps.shape
+    tiles = np.zeros((nbp, V), np.uint8)
+    scale = np.zeros(nbp, np.float32)
+    for s in range(0, nbp, chunk):
+        e = min(nbp, s + chunk)
+        cc = sc_comps[s:e]
+        mask = cc != _PAD
+        vv = np.where(
+            mask,
+            s_min[s:e, None] + sc_codes[s:e].astype(np.float32)
+            * s_quant[s:e, None],
+            0.0,
+        )
+        cols = np.where(mask, cc % V, 0).astype(np.int64)
+        r = np.repeat(np.arange(e - s, dtype=np.int64), S)
+        H = np.bincount(
+            r * V + cols.reshape(-1), weights=vv.reshape(-1),
+            minlength=(e - s) * V,
+        ).reshape(e - s, V).astype(np.float32)
+        mx = H.max(axis=1)
+        rs = np.maximum(mx, 1e-20) / 255.0
+        tiles[s:e] = np.round(H / rs[:, None]).astype(np.uint8)
+        scale[s:e] = np.where(mx > 0, rs, 0.0)
+    return _dc.replace(
+        arrays,
+        doc_tiles=tiles,
+        doc_tile_scale=scale,
+        list_post_start=np.asarray(arrays.list_block_start, np.int32),
+        list_len=np.asarray(arrays.list_n_blocks, np.int32),
+        max_list_len=int(arrays.max_blocks_per_list),
+    )

@@ -136,6 +136,18 @@ class GroupedParams:
     # (regrouped to pair order via the per-group item prefix sum).
     # Supported with pool_mode "stride"/"hier"/"approx"/"exact".
     kernel_unroll: int = 1
+    # > 0: the index is a BLOCK-summary view (ops/pallas_tiles.py::
+    # block_pool_arrays — one scored row per k-means block instead of per
+    # posting). The pool then selects BLOCKS; each pooled block is
+    # expanded into up to `block_expand` member postings through
+    # block_start/block_len and ALL of them are exact-rescored from the
+    # forward index — the TPU analogue of the reference's summary gate +
+    # evaluate_posting_block economics (posting_list.rs:115-215), with
+    # the sequential heap threshold replaced by a fixed per-query block
+    # pool. `pool` = blocks kept per query; `rescore`/ovf knobs are
+    # ignored (the expansion IS the exact rescore). This is the
+    # memory-lean fast path: no per-posting tile replication on device.
+    block_expand: int = 0
     # profiling: truncate the program after a stage ("qloc", "expand",
     # "kernel", "regroup", "pool", "prerank") and return that stage's
     # output — used by the harness to attribute fused-program time
@@ -1028,6 +1040,15 @@ def _grouped_tail(
     k = params.k
     n_docs = index.n_docs
 
+    if params.block_expand > 0:
+        # block-summary view: pooled "posting rows" are BLOCK ids
+        # (safe_post = list_block_start[pair] + offset); expand each into
+        # its member postings and exact-rescore all of them
+        return _block_expand_tail(
+            index, params, top_c, top_v, sc, top_scores, safe_post,
+            interpret,
+        )
+
     if params.rescore > 0:
         from ..ops.pallas_rescore import rescore_exact
 
@@ -1098,6 +1119,54 @@ def _grouped_tail(
             out_ids,
         )
 
+    out_ids = jnp.where(jnp.isfinite(out_scores), out_ids, -1)
+    return out_scores, out_ids
+
+
+def _block_expand_tail(
+    index, params, top_c, top_v, sc, blk_scores, blk_sel, interpret,
+):
+    """Expand pooled BLOCKS into member postings and exact-rescore all of
+    them (reference `evaluate_posting_block`, posting_list.rs:188-215:
+    every posting of a gated block gets a full sparse dot). Duplicate
+    docs (several selected lists/blocks) rescore identically; a cheap
+    prerank-then-dedup keeps the wide sort off the [B, pool*E] array."""
+    from ..ops.pallas_rescore import rescore_exact
+    from .engine import _dedup_by_id
+
+    k = params.k
+    n_docs = index.n_docs
+    B, P = blk_sel.shape
+    E = params.block_expand
+    nb = index.block_start.shape[0]
+    blk = jnp.clip(blk_sel, 0, nb - 1)
+    bs = jnp.take(index.block_start, blk)  # [B, P]
+    bl = jnp.take(index.block_len, blk)
+    j = jnp.arange(E, dtype=jnp.int32)
+    valid = (j[None, None, :] < bl[:, :, None]) & jnp.isfinite(
+        blk_scores
+    )[:, :, None]
+    pidx = jnp.clip(bs[:, :, None] + j, 0, index.postings.shape[0] - 1)
+    ids = jnp.take(index.postings, pidx)  # [B, P, E]
+    ids = jnp.where(valid, ids, n_docs).reshape(B, P * E)
+    exact = rescore_exact(index, ids, top_c, top_v, sc,
+                          interpret=interpret)
+    exact = jnp.where(ids < n_docs, exact, -jnp.inf)
+    # duplicates carry EQUAL exact scores, so the top-`dd` raw entries
+    # contain the true top-k unless > dd - k duplicates outrank it; dd
+    # is sized so that even the worst case (each of the top docs
+    # appearing in every selected list) keeps the true top-k inside
+    dd = min(P * E, max(8 * k, 128))
+    t2, pos2 = jax.lax.top_k(exact, dd)
+    ids2 = jnp.take_along_axis(ids, pos2, axis=1)
+    dscores, dids = _dedup_by_id(t2, ids2, n_docs)
+    out_scores, opos = jax.lax.top_k(dscores, k)
+    out_ids = jnp.take_along_axis(dids, opos, axis=1)
+    if params.n_knn > 0 and index.knn is not None:
+        out_scores, out_ids = _knn_refine_grouped(
+            index, params, top_c, top_v, sc, out_scores, out_ids,
+            interpret,
+        )
     out_ids = jnp.where(jnp.isfinite(out_scores), out_ids, -1)
     return out_scores, out_ids
 

@@ -1,0 +1,158 @@
+"""Block-summary pooling (ops/pallas_tiles.py::block_pool_arrays +
+GroupedParams.block_expand): the memory-lean grouped configuration where
+the scorer streams hashed BLOCK-summary tiles (one row per k-means block,
+no per-posting tile replication) and the tail expands pooled blocks into
+member postings for the exact rescore — the TPU analogue of the
+reference's summary gate + evaluate_posting_block
+(posting_list.rs:115-215)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from seismic_tpu import Configuration, TpuLayout
+from seismic_tpu.build.builder import build_index
+from seismic_tpu.ops.pallas_tiles import block_pool_arrays
+from seismic_tpu.search.engine import pad_queries
+from seismic_tpu.search.exact import exact_search_numpy
+from seismic_tpu.search.grouped import GroupedParams, search_grouped
+from seismic_tpu.search.planner import PlannerContext
+from tests.conftest import make_random_dataset, make_random_queries
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(11)
+    ds = make_random_dataset(rng, n_docs=400, dim=600, min_nnz=15,
+                             max_nnz=50, seed=47)
+    cfg = Configuration(layout=TpuLayout(max_block_len=16,
+                                         summary_vocab_cap=256))
+    arrays = build_index(ds, cfg)
+    qc, qv = make_random_queries(np.random.default_rng(3), n_queries=16,
+                                 dim=600, min_nnz=8, max_nnz=30)
+    q_comps, q_vals = pad_queries(qc, qv, 64)
+    _, gt_i = exact_search_numpy(ds, q_comps, q_vals, k=10)
+    return ds, arrays, q_comps, q_vals, gt_i
+
+
+def _recall(ids, gt_ids, k=10):
+    hits = tot = 0
+    for row, gt in zip(ids, gt_ids):
+        r = {int(d) for d in row[:k] if d >= 0}
+        g = {int(d) for d in gt[:k] if d >= 0}
+        hits += len(r & g)
+        tot += len(g)
+    return hits / max(tot, 1)
+
+
+def test_block_view_geometry(setup):
+    """The block view must remap list geometry to block space and hash
+    each block's (decoded) summary into V buckets."""
+    ds, arrays, _, _, _ = setup
+    V = 128
+    bv = block_pool_arrays(arrays, V)
+    assert bv.doc_tiles.shape == (arrays.summary_comps.shape[0], V)
+    np.testing.assert_array_equal(
+        np.asarray(bv.list_post_start), np.asarray(arrays.list_block_start)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(bv.list_len), np.asarray(arrays.list_n_blocks)
+    )
+    assert bv.max_list_len == int(arrays.max_blocks_per_list)
+    # real posting structures are untouched (the expand tail needs them)
+    np.testing.assert_array_equal(
+        np.asarray(bv.postings), np.asarray(arrays.postings)
+    )
+    # one spot-checked block row vs a bincount oracle over the decoded
+    # summary (min + code * quant at non-pad slots)
+    from seismic_tpu.data.sparse import PAD_COMPONENT
+
+    r = int(np.flatnonzero(np.asarray(arrays.block_len) > 0)[0])
+    cc = np.asarray(arrays.summary_comps[r])
+    mask = cc != PAD_COMPONENT
+    vv = np.where(
+        mask,
+        float(arrays.summary_min[r])
+        + np.asarray(arrays.summary_codes[r], np.float32)
+        * float(arrays.summary_quant[r]),
+        0.0,
+    )
+    ref = np.zeros(V, np.float32)
+    np.add.at(ref, np.where(mask, cc % V, 0), np.where(mask, vv, 0.0))
+    mx = ref.max()
+    if mx > 0:
+        sc = np.maximum(mx, 1e-20) / 255.0
+        np.testing.assert_array_equal(
+            np.asarray(bv.doc_tiles[r]),
+            np.round(ref / sc).astype(np.uint8),
+        )
+
+
+@pytest.mark.slow
+def test_block_expand_recall(setup):
+    """Block-pool search must reach the per-posting path's recall with a
+    deep-enough block pool (every member of a pooled block is
+    exact-rescored, so recall is gated only by block POOLING misses)."""
+    ds, arrays, q_comps, q_vals, gt_i = setup
+    base = GroupedParams(k=10, score_cut=64, pool=128, rescore=48,
+                         pool_mode="exact")
+    ctx = PlannerContext.from_arrays(arrays)
+    dev = arrays.to_device(pallas_tiles=True)
+    _, i_b = search_grouped(dev, ctx, q_comps, q_vals, base, query_cut=10)
+    r_b = _recall(i_b, gt_i)
+
+    V = 128
+    bv = block_pool_arrays(arrays, V)
+    devb = bv.to_device(pallas_tiles=True, tile_hash=V)
+    ctxb = PlannerContext.from_arrays(bv)
+    E = int(arrays.max_block_len)
+    bp = GroupedParams(k=10, score_cut=64, pool=48, block_expand=E,
+                       compute_dtype="i8", pool_mode="exact")
+    _, i_e = search_grouped(devb, ctxb, q_comps, q_vals, bp, query_cut=10)
+    assert _recall(i_e, gt_i) >= r_b - 0.03
+
+    # f32 compute path over the block view
+    bpf = dataclasses.replace(bp, compute_dtype="f32")
+    _, i_f = search_grouped(devb, ctxb, q_comps, q_vals, bpf,
+                            query_cut=10)
+    assert _recall(i_f, gt_i) >= r_b - 0.03
+
+    # unrolled item-major kernel: identical results to U=1 on the block
+    # view (same scores, same pool, same expansion)
+    bpu = dataclasses.replace(bp, kernel_unroll=2, pool_mode="stride",
+                              pool_stride=4)
+    bp1 = dataclasses.replace(bpu, kernel_unroll=1)
+    _, i_u = search_grouped(devb, ctxb, q_comps, q_vals, bpu,
+                            query_cut=10)
+    _, i_1 = search_grouped(devb, ctxb, q_comps, q_vals, bp1,
+                            query_cut=10)
+    np.testing.assert_array_equal(i_u, i_1)
+
+
+@pytest.mark.slow
+def test_block_expand_scores_exact(setup):
+    """Returned scores are EXACT sparse dots (rescore from the forward
+    index), not summary approximations."""
+    ds, arrays, q_comps, q_vals, _ = setup
+    V = 128
+    bv = block_pool_arrays(arrays, V)
+    devb = bv.to_device(pallas_tiles=True, tile_hash=V)
+    ctxb = PlannerContext.from_arrays(bv)
+    E = int(arrays.max_block_len)
+    bp = GroupedParams(k=10, score_cut=64, pool=48, block_expand=E,
+                       compute_dtype="i8", pool_mode="exact")
+    s_e, i_e = search_grouped(devb, ctxb, q_comps, q_vals, bp,
+                              query_cut=10)
+    for b in range(4):
+        qd = {int(c): float(v) for c, v in zip(q_comps[b], q_vals[b])
+              if c >= 0}
+        for s, d in zip(s_e[b], i_e[b]):
+            if d < 0:
+                continue
+            lo, hi = ds.offsets[d], ds.offsets[d + 1]
+            ref = sum(
+                qd.get(int(c), 0.0) * float(v)
+                for c, v in zip(ds.components[lo:hi], ds.values[lo:hi])
+            )
+            assert abs(ref - float(s)) < 1e-3 * max(1.0, abs(ref))
