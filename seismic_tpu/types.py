@@ -331,7 +331,8 @@ class IndexArrays:
                   ladder_coverage: float = 0.995,
                   _ladder_prepped=None,
                   vocab_residue: int = 0,
-                  tile_hash: int = 0):
+                  tile_hash: int = 0,
+                  lean_fwd: bool = False):
         """Upload all arrays to a device, returning a DeviceIndex pytree.
 
         With pallas_tiles=True (and doc tiles present) additionally builds
@@ -392,6 +393,12 @@ class IndexArrays:
                 extra["fwd_comps16"] = put(
                     np.where(fc == PAD_COMPONENT, -1, fc).astype(np.int16)
                 )
+                if lean_fwd:
+                    # the grouped + rescore path reads only the i16 twin;
+                    # skipping the i32 original saves 4 bytes/slot of HBM
+                    # (8.8M-doc rung: ~6.8 GB). Engine-path consumers of
+                    # fwd_comps are NOT served by a lean index.
+                    skip |= {"fwd_comps"}
         if fuse_fwd:
             # fused forward tile: comps and f32-bit values interleaved in
             # ONE [n_docs, 2W] int32 array. The rescore gather is bound by

@@ -76,3 +76,27 @@ def test_exact_search_k_exceeds_n(rng):
     s, i = exact_search(ds, q_comps, q_vals, k=8)
     assert s.shape == (2, 8)
     assert np.all(i[:, 5:] == -1)
+
+
+def test_exact_search_stream_matches(rng):
+    """The streaming (running device top-k) path must reproduce the
+    materialized path exactly, including (score desc, id asc) ties."""
+    ds = make_random_dataset(rng, n_docs=300, dim=700, seed=23)
+    qc, qv = make_random_queries(rng, n_queries=12, dim=700)
+    from seismic_tpu.search.engine import pad_queries
+
+    q_comps, q_vals = pad_queries(qc, qv, 64)
+    s1, i1 = exact_search(ds, q_comps, q_vals, k=10, chunk=128,
+                          stream=False)
+    s2, i2 = exact_search(ds, q_comps, q_vals, k=10, chunk=128,
+                          stream=True)
+    assert np.allclose(s1, s2, atol=1e-3)
+    assert np.array_equal(i1, i2)
+    # k > n_docs padding contract holds on the stream path too
+    ds5 = make_random_dataset(rng, n_docs=5, dim=50, seed=2)
+    qc5, qv5 = make_random_queries(rng, n_queries=2, dim=50, min_nnz=3,
+                                   max_nnz=5)
+    q_comps5, q_vals5 = pad_queries(qc5, qv5, 16)
+    s, i = exact_search(ds5, q_comps5, q_vals5, k=8, stream=True)
+    assert s.shape == (2, 8)
+    assert np.all(i[:, 5:] == -1)
