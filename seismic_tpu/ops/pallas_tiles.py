@@ -380,7 +380,74 @@ def hash_retile(arrays, V: int, chunk: int = 65536):
     return _dc.replace(arrays, doc_tiles=tiles, doc_tile_scale=scale)
 
 
-def block_pool_arrays(arrays, V: int, chunk: int = 262144):
+def order_block_members(arrays, chunk: int = 1 << 21):
+    """Reorder the postings WITHIN each k-means block by the member's
+    posting value (the doc's forward value for the block's list term),
+    descending. Block geometry (block_start/block_len) is unchanged —
+    only the member order inside each block moves.
+
+    This makes a truncated expansion (GroupedParams.block_expand <
+    max_block_len) drop each block's LEAST-valuable members for that
+    list's term — the members least likely to enter the top-k via this
+    list — instead of arbitrary ones. Returns a new IndexArrays with a
+    permuted copy of `postings` (all other fields shared)."""
+    import dataclasses as _dc
+
+    from ..data.sparse import PAD_COMPONENT as _PAD
+
+    lps = np.asarray(arrays.list_post_start, np.int64)
+    ll = np.asarray(arrays.list_len, np.int64)
+    posts = np.asarray(arrays.postings)
+    bs = np.asarray(arrays.block_start, np.int64)
+    bl = np.asarray(arrays.block_len, np.int64)
+    total = int((lps + ll).max()) if len(lps) else 0
+
+    # list id of every packed posting row: non-empty lists are packed
+    # contiguously; repeat list ids in ascending-start order
+    nz = ll > 0
+    order = np.argsort(lps[nz], kind="stable")
+    lid_packed = np.repeat(
+        np.arange(len(ll), dtype=np.int64)[nz][order], ll[nz][order]
+    )
+    assert len(lid_packed) == total
+
+    fc = np.asarray(arrays.fwd_comps)
+    fv = np.asarray(arrays.fwd_vals)
+    has_step = arrays.fwd_val_step is not None
+    val = np.zeros(total, np.float32)
+    for s in range(0, total, chunk):
+        e = min(total, s + chunk)
+        d = posts[s:e].astype(np.int64)
+        rows = fc[d]
+        m = rows == lid_packed[s:e, None]
+        v = np.where(m, fv[d].astype(np.float32), 0.0).max(axis=1)
+        if has_step:
+            hit = m.any(axis=1)
+            v = np.where(
+                hit,
+                v * np.asarray(arrays.fwd_val_step, np.float32)[d]
+                + np.asarray(arrays.fwd_val_min, np.float32)[d],
+                0.0,
+            )
+        val[s:e] = v
+
+    # block id per packed posting row: blocks are contiguous in packed
+    # order (block_start is a cumsum over block_len), covering [0, total)
+    n_blocks = len(bs)
+    real = bl > 0
+    blk_of = np.repeat(np.arange(n_blocks, dtype=np.int64)[real],
+                       bl[real])
+    assert len(blk_of) == total, (len(blk_of), total)
+    # stable sort by (block, -value): members move only within their
+    # block (blocks are contiguous in packed order)
+    perm = np.lexsort((-val, blk_of))
+    new_posts = posts.copy()
+    new_posts[:total] = posts[perm]
+    return _dc.replace(arrays, postings=new_posts)
+
+
+def block_pool_arrays(arrays, V: int, chunk: int = 262144,
+                      order_members: bool = False):
     """A blocks-as-rows VIEW of the index for the grouped scorer: hashed
     BLOCK-SUMMARY tiles replace the per-posting doc tiles, and the list
     geometry fields are remapped so one "posting row" = one block.
@@ -408,11 +475,18 @@ def block_pool_arrays(arrays, V: int, chunk: int = 262144):
     (postings/block_start/block_len stay REAL: with
     GroupedParams.block_expand the pool emits block ids directly and the
     tail expands them through block_start/block_len into postings.)
+
+    `order_members` reorders each block's postings by posting value
+    (descending) first — see order_block_members — so a truncated
+    expansion (block_expand < max_block_len) drops the least-valuable
+    members.
     """
     import dataclasses as _dc
 
     from ..data.sparse import PAD_COMPONENT as _PAD
 
+    if order_members:
+        arrays = order_block_members(arrays)
     assert V % 128 == 0
     sc_comps = np.asarray(arrays.summary_comps)
     sc_codes = np.asarray(arrays.summary_codes)

@@ -156,3 +156,48 @@ def test_block_expand_scores_exact(setup):
                 for c, v in zip(ds.components[lo:hi], ds.values[lo:hi])
             )
             assert abs(ref - float(s)) < 1e-3 * max(1.0, abs(ref))
+
+
+def test_order_block_members(setup):
+    """Member reordering must keep each block's member SET and leave
+    geometry untouched, with values descending within every block."""
+    ds, arrays, _, _, _ = setup
+    from seismic_tpu.ops.pallas_tiles import order_block_members
+
+    ob = order_block_members(arrays)
+    posts0 = np.asarray(arrays.postings)
+    posts1 = np.asarray(ob.postings)
+    bs = np.asarray(arrays.block_start, np.int64)
+    bl = np.asarray(arrays.block_len, np.int64)
+    np.testing.assert_array_equal(np.asarray(ob.block_start), bs)
+    np.testing.assert_array_equal(np.asarray(ob.block_len), bl)
+
+    lps = np.asarray(arrays.list_post_start, np.int64)
+    ll = np.asarray(arrays.list_len, np.int64)
+    nz = ll > 0
+    order = np.argsort(lps[nz])
+    lid_packed = np.repeat(
+        np.arange(len(ll), dtype=np.int64)[nz][order], ll[nz][order]
+    )
+
+    def value(doc, term):
+        lo, hi = ds.offsets[doc], ds.offsets[doc + 1]
+        m = ds.components[lo:hi] == term
+        return float(ds.values[lo:hi][m][0]) if m.any() else 0.0
+
+    rng = np.random.default_rng(5)
+    checked = 0
+    for b in rng.permutation(len(bs)):
+        s, n = int(bs[b]), int(bl[b])
+        if n < 2:
+            continue
+        assert set(posts1[s:s + n]) == set(posts0[s:s + n]), b
+        term = int(lid_packed[s])
+        vals = [value(int(d), term) for d in posts1[s:s + n]]
+        assert all(vals[i] >= vals[i + 1] - 1e-5 for i in range(n - 1)), (
+            b, vals
+        )
+        checked += 1
+        if checked >= 25:
+            break
+    assert checked >= 10
