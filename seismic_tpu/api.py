@@ -68,6 +68,12 @@ class _IndexBase:
     # exact-rescore doc mode (reference memory story, dotvbyte.rs)
     _store_doc_tiles = True
     _default_doc_mode: Optional[str] = None
+    # the block-summary grouped fast path (hashed [n_blocks, V] summary
+    # tiles + block_expand exact rescore, search/grouped.py): the
+    # memory-lean configuration — device state is forward + postings +
+    # block geometry + block tiles, no per-posting tile replication
+    _use_block_pool = False
+    _block_V = 512
 
     def __init__(
         self,
@@ -108,6 +114,26 @@ class _IndexBase:
     def _invalidate_device(self):
         self._device = None
         self._planner_ctx = None
+        self._block_device = None
+        self._block_ctx = None
+
+    def _block_device_index(self):
+        """Lazy device upload of the block-summary view (lean: hashed
+        [n_blocks, V] block tiles instead of per-posting doc tiles; the
+        i32 forward comps stay on host)."""
+        if getattr(self, "_block_device", None) is None:
+            from .ops.pallas_tiles import block_pool_arrays
+            from .search.planner import PlannerContext
+
+            bv = block_pool_arrays(
+                self._arrays, self._block_V, order_members=True
+            )
+            self._block_E = int(self._arrays.max_block_len)
+            self._block_device = bv.to_device(
+                pallas_tiles=True, tile_hash=self._block_V, lean_fwd=True
+            )
+            self._block_ctx = PlannerContext.from_arrays(bv)
+        return self._block_device
 
     def _grouped_ctx(self):
         if self._planner_ctx is None:
@@ -255,6 +281,59 @@ class _IndexBase:
                 q_comps, ((0, bb - B), (0, 0)), constant_values=PAD_COMPONENT
             )
             q_vals = np.pad(q_vals, ((0, bb - B), (0, 0)))
+        # Block-summary grouped fast path (memory-compressed classes):
+        # the pool ranks hashed BLOCK summaries, pooled blocks expand
+        # into member postings, and every member is exact-rescored from
+        # the compressed forward index — the reference's summary gate +
+        # evaluate_posting_block economics (posting_list.rs:115-215) at
+        # TPU batch shapes. Taken for any heap_factor (the finite block
+        # pool plays the heap threshold's work-limiting role); explicit
+        # budgets or block/doc mode overrides fall through to the engine
+        # path. TPU-only (SEISMIC_BLOCK_POOL=force enables it on CPU for
+        # tests).
+        if (
+            self._use_block_pool
+            and self._arrays.summary_comps is not None
+            and block_budget is None
+            and cand_budget is None
+            and block_mode is None
+            and doc_mode is None
+        ):
+            import jax
+
+            if (
+                jax.default_backend() == "tpu"
+                or os.environ.get("SEISMIC_BLOCK_POOL") == "force"
+            ):
+                from .search.grouped import (
+                    DevicePlan,
+                    GroupedParams,
+                    search_grouped_jit,
+                )
+                from .search.planner import plan_grouped
+
+                import jax.numpy as jnp
+
+                index = self._block_device_index()
+                pool = max(4 * k, 32)
+                gp = GroupedParams(
+                    k=k, score_cut=score_cut, pool=pool,
+                    block_expand=self._block_E, n_knn=n_knn,
+                    compute_dtype="i8", pool_mode="hier",
+                    pool_per_pair=max(4, pool // 4),
+                )
+                plan = plan_grouped(
+                    q_comps, q_vals, self._block_ctx, query_cut
+                )
+                dplan = DevicePlan.put(plan)
+                scores, ids = search_grouped_jit(
+                    index,
+                    dplan,
+                    jnp.asarray(q_comps, jnp.int32),
+                    jnp.asarray(q_vals, jnp.float32),
+                    gp,
+                )
+                return np.asarray(scores)[:B], np.asarray(ids)[:B]
         params = self._search_params(
             k, query_cut, n_knn, first_sorted, block_budget, cand_budget,
             block_mode, doc_mode, full_lists, score_cut,
@@ -755,6 +834,9 @@ class SeismicIndexDotVByte(SeismicIndex):
     _value_dtype = "u8"
     _store_doc_tiles = False
     _default_doc_mode = "rescore"
+    # fast path: block-summary grouped search (lean device state — no
+    # per-posting tiles; pooled blocks expand into exact rescores)
+    _use_block_pool = True
 
     def build_knn(self, nknn: int, batch_size: int = 256) -> None:
         # Parity with the reference, which cannot build graphs on compressed

@@ -144,6 +144,43 @@ def test_dotvbyte_variant(toy_documents_path, toy_queries_path):
     assert agree >= 0.9 * tot
 
 
+def test_dotvbyte_block_pool_path(toy_documents_path, toy_queries_path,
+                                  monkeypatch):
+    """The DotVByte class's block-summary grouped fast path (forced on
+    CPU via SEISMIC_BLOCK_POOL) must track the engine rescore path."""
+    import json
+
+    monkeypatch.setenv("SEISMIC_BLOCK_POOL", "force")
+    idx = SeismicIndexDotVByte.build(toy_documents_path, n_postings=100)
+    queries = [json.loads(l) for l in open(toy_queries_path)]
+    qids = np.array([q["id"] for q in queries], dtype="U30")
+    qc = [np.array(list(q["vector"].keys()), dtype="U30") for q in queries]
+    qv = [np.array(list(q["vector"].values()), dtype=np.float32)
+          for q in queries]
+    r_blk = idx.batch_search(qids, qc, qv, k=5, query_cut=20,
+                             heap_factor=0.7)
+    assert idx._block_device is not None  # the block path actually ran
+    # lean upload: no per-posting tiles, no i32 forward comps on device
+    assert idx._block_device.fwd_comps is None
+    assert idx._block_device.fwd_comps16 is not None
+    monkeypatch.delenv("SEISMIC_BLOCK_POOL")
+    idx2 = SeismicIndexDotVByte.build(toy_documents_path, n_postings=100)
+    r_eng = idx2.batch_search(qids, qc, qv, k=5, query_cut=20,
+                              heap_factor=0.7)
+    agree = tot = 0
+    for a, b in zip(r_blk, r_eng):
+        agree += len({t[2] for t in a} & {t[2] for t in b})
+        tot += len(b)
+    assert agree >= 0.9 * tot
+    # returned scores are exact sparse dots (same values as the engine
+    # rescore path) on the agreeing docs
+    for a, b in zip(r_blk, r_eng):
+        bd = {t[2]: t[1] for t in b}
+        for _, s, d in a:
+            if d in bd:
+                assert abs(s - bd[d]) < 1e-3 * max(1.0, abs(bd[d]))
+
+
 def test_lv_classes_capacity():
     d = SeismicDataset()
     assert d._component_cap == 1 << 16
