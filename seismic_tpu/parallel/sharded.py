@@ -188,6 +188,7 @@ class ShardedIndex:
         pallas_tiles: bool = False,
         tile_csub: int = 1,
         tile_hash: int = 0,
+        tile_block: int = 0,
     ) -> "ShardedIndex":
         """Split the collection into contiguous shards, build one index per
         shard (embarrassingly parallel, like the reference's per-list rayon
@@ -222,7 +223,8 @@ class ShardedIndex:
         return ShardedIndex.from_shards(shards, offsets, mesh, n, config,
                                         pallas_tiles=pallas_tiles,
                                         tile_csub=tile_csub,
-                                        tile_hash=tile_hash)
+                                        tile_hash=tile_hash,
+                                        tile_block=tile_block)
 
     @staticmethod
     def from_shards(
@@ -234,9 +236,25 @@ class ShardedIndex:
         pallas_tiles: bool = False,
         tile_csub: int = 1,
         tile_hash: int = 0,
+        tile_block: int = 0,
     ) -> "ShardedIndex":
         shards = pad_shards_to_common_shapes(shards)
-        if tile_hash:
+        if tile_block:
+            # block-summary view per shard (memory-lean multi-chip
+            # configuration): hashed [n_blocks, V] block tiles + the
+            # block_expand exact-rescore tail. Shard searches must pass
+            # GroupedParams(block_expand=...). Padded shards share block
+            # geometry shapes, so the views stack like any other leaf.
+            assert pallas_tiles, "tile_block requires pallas_tiles"
+            assert not tile_hash, "tile_block and tile_hash are exclusive"
+            from ..ops.pallas_tiles import block_pool_arrays
+
+            shards = [
+                block_pool_arrays(s, tile_block, order_members=True)
+                for s in shards
+            ]
+            tile_hash = tile_block  # block tiles use the hashed query
+        elif tile_hash:
             # hashed tiles per shard (common width => stackable); the
             # grouped shard_map program hashes the query once per query,
             # exactly like the single-chip path

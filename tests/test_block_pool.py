@@ -201,3 +201,47 @@ def test_order_block_members(setup):
         if checked >= 25:
             break
     assert checked >= 10
+
+
+@pytest.mark.slow
+def test_sharded_block_pool():
+    """Doc-sharded grouped search over BLOCK views (tile_block plumbed
+    through ShardedIndex) must track the single-index block run: the
+    query hash is shard-independent and the expand tail runs per shard
+    before the all-gather merge."""
+    from seismic_tpu.parallel.mesh import make_mesh
+    from seismic_tpu.parallel.sharded import ShardedIndex
+
+    rng = np.random.default_rng(3)
+    ds = make_random_dataset(rng, n_docs=240, dim=400, min_nnz=10,
+                             max_nnz=30, seed=21)
+    cfg = Configuration(layout=TpuLayout(max_block_len=16,
+                                         summary_vocab_cap=256))
+    qc, qv = make_random_queries(np.random.default_rng(4), n_queries=8,
+                                 dim=400, min_nnz=6, max_nnz=20)
+    q_comps, q_vals = pad_queries(qc, qv, 64)
+
+    arrays = build_index(ds, cfg)
+    E = int(arrays.max_block_len)
+    gp = GroupedParams(k=10, score_cut=64, pool=32, block_expand=E,
+                       compute_dtype="i8", pool_mode="exact")
+    bv = block_pool_arrays(arrays, 128, order_members=True)
+    dev = bv.to_device(pallas_tiles=True, tile_hash=128)
+    ctx = PlannerContext.from_arrays(bv)
+    s_ref, i_ref = search_grouped(dev, ctx, q_comps, q_vals, gp,
+                                  query_cut=8)
+
+    mesh = make_mesh(n_docs_shards=4, n_data=1)
+    sharded = ShardedIndex.build(ds, mesh, cfg, pallas_tiles=True,
+                                 tile_block=128)
+    s_sh, i_sh = sharded.search_batch_grouped(q_comps, q_vals, gp,
+                                              query_cut=8)
+    for b in range(len(i_ref)):
+        ref = {int(d): float(s) for s, d in zip(s_ref[b], i_ref[b])
+               if d >= 0}
+        got = {int(d): float(s) for s, d in zip(s_sh[b], i_sh[b])
+               if d >= 0}
+        shared = set(ref) & set(got)
+        assert len(shared) >= 5
+        for d in shared:
+            assert abs(ref[d] - got[d]) < 1e-3 * max(1.0, abs(ref[d]))
