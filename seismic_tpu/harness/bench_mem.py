@@ -72,12 +72,166 @@ def get_mem_index():
     return arrays
 
 
+def get_block_index():
+    """u8-forward index with CSR block summaries only (no doc tiles, no
+    dense summaries, no sketches) — the block-pool source state."""
+    from ..build.builder import build_index
+    from ..config import Configuration, GlobalThresholdPruning, TpuLayout
+    from ..data.sparse import CsrDataset
+    from ..types import IndexArrays
+
+    path = os.path.join(CACHE, f"memindex_{N_DOCS}_{DIM}_200_blk.dir")
+    if os.path.isdir(path):
+        t = time.time()
+        arrays = IndexArrays.load_dir(path)
+        log(f"block mem index loaded: {time.time()-t:.1f}s")
+        return arrays
+    dpath = os.path.join(CACHE, f"docs_{N_DOCS}_{DIM}.npz")
+    with np.load(dpath) as z:
+        ds = CsrDataset(z["offsets"], z["components"], z["values"], DIM)
+    cfg = Configuration(
+        pruning=GlobalThresholdPruning(n_postings=200, max_fraction=2.0),
+        layout=TpuLayout(
+            max_block_len=32, summary_vocab_cap=0, max_doc_nnz=256,
+            tile_overflow=0, sketch_dim=0, max_summary_nnz=128,
+        ),
+    )
+    t = time.time()
+    arrays = build_index(
+        ds, cfg, value_dtype="u8", store_doc_tiles=False,
+        store_sketches=False, progress=True,
+    )
+    log(f"block mem index build: {time.time()-t:.0f}s")
+    arrays.save_dir(path)
+    return arrays
+
+
+def run_block(args):
+    """Block-summary grouped rung: the fast AND lean configuration
+    (VERDICT r2 item 3 — recall >= 0.97 at <= 2x forward bytes and
+    >= 5x the reference's 5.4K-QPS single-thread CPU baseline)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.pallas_tiles import block_pool_arrays
+    from ..search.engine import pad_queries
+    from ..search.grouped import (
+        GroupedParams,
+        plan_caps,
+        search_grouped_derive_jit,
+    )
+    from ..search.planner import PlannerContext
+    from .synth import synth_queries
+
+    arrays = get_block_index()
+    space = arrays.space_usage_report()
+    V = args.block_v
+    t0 = time.time()
+    bv = block_pool_arrays(arrays, V, order_members=True)
+    log(f"block view V={V}: {time.time()-t0:.0f}s "
+        f"rows={bv.doc_tiles.shape[0]:,}")
+    for f in ("summary_comps", "summary_codes"):
+        setattr(bv, f, None)
+    E = int(arrays.max_block_len)
+
+    def _sync(out):
+        x = [l for l in jax.tree.leaves(out) if hasattr(l, "shape")][0]
+        np.asarray(jnp.sum(x.astype(jnp.float32)))
+        return out
+
+    def recall_at_k(ids, gt_ids, k=10):
+        hits = tot = 0
+        for r, g in zip(ids, gt_ids):
+            rs = {int(x) for x in r[:k] if x >= 0}
+            gs = {int(x) for x in g[:k] if x >= 0}
+            hits += len(rs & gs)
+            tot += len(gs)
+        return hits / max(tot, 1)
+
+    log(f"devices: {jax.devices()}")
+    t0 = time.time()
+    index = bv.to_device(pallas_tiles=True, tile_csub=2, tile_hash=V,
+                         lean_fwd=True)
+    ctx = PlannerContext.from_arrays(bv, csub=2)
+    _sync(index.doc_tiles_aligned)
+    log(f"to_device: {time.time()-t0:.0f}s")
+    dev_b = int(sum(x.nbytes for x in jax.tree.leaves(index)
+                    if hasattr(x, "nbytes")))
+    fwd_f32 = N_DOCS * 256 * 8  # f32 forward at this layout (comps+vals)
+    log(f"device bytes: {dev_b/1e6:.0f}MB "
+        f"({dev_b/fwd_f32:.2f}x the f32 forward index)")
+
+    qc_l, qv_l = synth_queries(1024, dim=DIM, seed=11)
+    q_comps, q_vals = pad_queries(qc_l, qv_l, 64)
+    gt = np.load(os.path.join(CACHE, f"gt_{N_DOCS}_{DIM}_1024.npz"))["ids"]
+    B = args.batch
+    qd = jnp.asarray(q_comps[:B], jnp.int32)
+    vd = jnp.asarray(q_vals[:B], jnp.float32)
+
+    base = GroupedParams(k=10, score_cut=64, pool=32, block_expand=E,
+                         compute_dtype="i8", pool_mode="hier",
+                         pool_per_pair=8, kernel_unroll=8)
+    rows = []
+    for qcut in (10, 12, 14):
+        for pool, ppp, Ee in ((16, 4, E), (32, 8, E), (48, 12, E),
+                              (32, 8, 16)):
+            gp = dataclasses.replace(base, pool=pool, pool_per_pair=ppp,
+                                     block_expand=Ee)
+            gc, wc = plan_caps(q_comps[:B], q_vals[:B], ctx, qcut, M=8)
+            try:
+                out = _sync(search_grouped_derive_jit(
+                    index, qd, vd, gp, qcut, 8, gc, wc, ctx.zero_region))
+                rec = recall_at_k(np.asarray(out[1])[:1024], gt)
+                t0 = time.time()
+                for _ in range(args.reps):
+                    out = search_grouped_derive_jit(
+                        index, qd, vd, gp, qcut, 8, gc, wc,
+                        ctx.zero_region)
+                _sync(out)
+                dt = (time.time() - t0) / args.reps
+                row = {"query_cut": qcut, "pool": pool, "E": Ee,
+                       "qps": round(B / dt, 1),
+                       "ms_per_batch": round(dt * 1e3, 2),
+                       "recall_at_10": round(rec, 4)}
+                log(str(row))
+                rows.append(row)
+            except Exception as e:  # noqa: BLE001
+                log(f"qc{qcut}/p{pool}/E{Ee}: FAILED "
+                    f"{type(e).__name__}: {e}")
+
+    artifact = {
+        "space": space,
+        "device_bytes": dev_b,
+        "ratio_vs_f32_forward": round(dev_b / fwd_f32, 3),
+        "tile_mode": "block", "V": V,
+        "note": (
+            "block-summary grouped path: u8 forward (DotVByte-"
+            "equivalent) + hashed [n_blocks, V] block tiles; pooled "
+            "blocks expand into member postings, all exact-rescored "
+            "(GroupedParams.block_expand). No per-posting tile "
+            "replication; lean upload drops the i32 forward comps."
+        ),
+        "rungs": rows,
+    }
+    with open(os.path.join(ROOT, "MEM_BENCH.json"), "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(json.dumps(artifact))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--build-only", action="store_true")
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--block", action="store_true",
+                    help="block-summary grouped rung (fast AND lean)")
+    ap.add_argument("--block-v", type=int, default=512)
     args = ap.parse_args()
+    if args.block:
+        run_block(args)
+        return
 
     arrays = get_mem_index()
     space = arrays.space_usage_report()
