@@ -30,7 +30,7 @@ import time
 
 import numpy as np
 
-faulthandler.dump_traceback_later(3300, exit=True)
+faulthandler.dump_traceback_later(7200, exit=True)
 ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..")
 sys.path.insert(0, ROOT)
 CACHE = os.path.join(ROOT, ".bench_cache")
@@ -60,7 +60,7 @@ def get_gt(q_comps, q_vals):
         ds = CsrDataset(z["offsets"], z["components"], z["values"], DIM)
     log(f"dataset loaded: {time.time()-t:.0f}s")
     t = time.time()
-    _, ids = exact_search(ds, q_comps, q_vals, k=10, chunk=8192,
+    _, ids = exact_search(ds, q_comps, q_vals, k=10, chunk=16384,
                           stream=True)
     log(f"streaming exact GT: {time.time()-t:.0f}s")
     np.savez(path, ids=ids)

@@ -1,0 +1,57 @@
+#!/bin/bash
+# Round-3 TPU measurement queue. Runs every staged probe sequentially,
+# ONE TPU process at a time (axon quirk: concurrent TPU clients contend
+# on the tunnel). Each stage is timeout-bounded; a dead tunnel makes the
+# tunnel check fail fast and the queue re-polls instead of wedging.
+#
+# Usage: bash seismic_tpu/harness/run_r3_tpu_queue.sh [stage ...]
+#   stages default to: g h mem j bench
+#   g     = probe_r3g  (100K hashed tiles: qc x rescore grid, stages, B=16K)
+#   h     = probe_r3h  (1M hashed tiles: the recall-at-scale experiment)
+#   mem   = bench_mem --block (fast-and-lean artifact)
+#   j     = probe_r3j  (8.8M block-summary rung, incl. on-device GT)
+#   bench = bench.py   (BENCH headline protocol)
+set -u
+cd "$(dirname "$0")/../.."
+LOGDIR=/tmp/r3queue
+mkdir -p "$LOGDIR"
+
+log() { echo "[queue $(date +%H:%M:%S)] $*" | tee -a "$LOGDIR/queue.log"; }
+
+wait_for_tunnel() {
+  # jax.devices() hangs machine-wide when the axon tunnel is down; bound
+  # the probe and poll until it answers.
+  while true; do
+    if timeout 180 python -c "import jax; assert jax.devices()[0].platform != 'cpu'" \
+        >>"$LOGDIR/tunnel.log" 2>&1; then
+      log "tunnel up"
+      return 0
+    fi
+    log "tunnel down; sleeping 600s"
+    sleep 600
+  done
+}
+
+run_stage() {
+  name=$1; bound=$2; shift 2
+  log "stage $name: START ($*)"
+  if timeout "$bound" "$@" >"$LOGDIR/$name.log" 2>&1; then
+    log "stage $name: OK"
+  else
+    log "stage $name: FAILED rc=$? (see $LOGDIR/$name.log)"
+  fi
+}
+
+STAGES=${*:-g h mem j bench}
+for s in $STAGES; do
+  wait_for_tunnel
+  case $s in
+    g)     run_stage r3g 5400   python -m seismic_tpu.harness.probe_r3g ;;
+    h)     run_stage r3h 5400   python -m seismic_tpu.harness.probe_r3h ;;
+    mem)   run_stage mem 5400   python -m seismic_tpu.harness.bench_mem --block ;;
+    j)     run_stage r3j 9000   python -m seismic_tpu.harness.probe_r3j 512 ;;
+    bench) run_stage bench 5400 python bench.py ;;
+    *)     log "unknown stage $s" ;;
+  esac
+done
+log "queue complete"
