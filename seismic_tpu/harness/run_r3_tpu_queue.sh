@@ -5,9 +5,10 @@
 # tunnel check fail fast and the queue re-polls instead of wedging.
 #
 # Usage: bash seismic_tpu/harness/run_r3_tpu_queue.sh [stage ...]
-#   stages default to: g h mem j bench
+#   stages default to: g h k mem j bench
 #   g     = probe_r3g  (100K hashed tiles: qc x rescore grid, stages, B=16K)
 #   h     = probe_r3h  (1M hashed tiles: the recall-at-scale experiment)
+#   k     = probe_r3k  (1M block-summary pooling: lean + block gating)
 #   mem   = bench_mem --block (fast-and-lean artifact)
 #   j     = probe_r3j  (8.8M block-summary rung, incl. on-device GT)
 #   bench = bench.py   (BENCH headline protocol)
@@ -42,12 +43,13 @@ run_stage() {
   fi
 }
 
-STAGES=${*:-g h mem j bench}
+STAGES=${*:-g h k mem j bench}
 for s in $STAGES; do
   wait_for_tunnel
   case $s in
     g)     run_stage r3g 5400   python -m seismic_tpu.harness.probe_r3g ;;
     h)     run_stage r3h 5400   python -m seismic_tpu.harness.probe_r3h ;;
+    k)     run_stage r3k 5400   python -m seismic_tpu.harness.probe_r3k 512 ;;
     mem)   run_stage mem 5400   python -m seismic_tpu.harness.bench_mem --block ;;
     j)     run_stage r3j 9000   python -m seismic_tpu.harness.probe_r3j 512 ;;
     bench) run_stage bench 5400 python bench.py ;;
