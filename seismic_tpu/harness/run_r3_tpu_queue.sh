@@ -23,8 +23,14 @@ wait_for_tunnel() {
   # jax.devices() hangs machine-wide when the axon tunnel is down; bound
   # the probe and poll until it answers.
   while true; do
-    if timeout 180 python -c "import jax; assert jax.devices()[0].platform != 'cpu'" \
-        >>"$LOGDIR/tunnel.log" 2>&1; then
+    # devices() can list the chip while compute hangs (yesterday's
+    # outage) — require an actual round-tripped computation.
+    if timeout 180 python -c "
+import jax, jax.numpy as jnp, numpy as np
+assert jax.devices()[0].platform != 'cpu'
+x = np.asarray(jnp.arange(8.0).sum())
+assert float(x) == 28.0, x
+print('tunnel compute ok')" >>"$LOGDIR/tunnel.log" 2>&1; then
       log "tunnel up"
       return 0
     fi
