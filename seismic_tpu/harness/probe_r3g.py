@@ -5,6 +5,11 @@ index (ops/pallas_tiles.py::hash_retile) vs the truncated-vocab numbers
   1. e2e derive-path hier16 U8 at B=4096: qc x rescore grid
   2. stage budget (stop_after) at the best point
   3. large-batch B=16384 rung
+  4. V=512 hashed retile (on the fly): the round-2 V=512 negative was
+     for TRUNCATED tiles (vocab loss); hashed tiles lose nothing, so
+     halving V halves the kernel's bytes/FLOPs (~14 ms -> ~7 ms of the
+     45 ms batch) if the extra collisions stay inside what the exact
+     rescore absorbs.
 
 Usage: python -m seismic_tpu.harness.probe_r3g [hash_dir]
 """
@@ -18,7 +23,7 @@ import time
 
 import numpy as np
 
-faulthandler.dump_traceback_later(3000, exit=True)
+faulthandler.dump_traceback_later(6600, exit=True)
 ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..")
 sys.path.insert(0, ROOT)
 
@@ -121,6 +126,55 @@ def main():
                 f"recall@10={rec:.4f} QPS={B_/dt:,.0f}")
         except Exception as e:  # noqa: BLE001
             log(f"B={B_}: FAILED {type(e).__name__}: {e}")
+
+    # ---- V=512 hashed retile: half the kernel bytes ----
+    from seismic_tpu.ops.pallas_tiles import hash_retile
+
+    del index
+    V2 = 512
+    h2dir = os.path.join(
+        bench.CACHE, f"index_100000_30522_200_v1024_o64_hash{V2}.dir"
+    )
+    t0 = time.time()
+    if os.path.isdir(h2dir):
+        h2 = IndexArrays.load_dir(h2dir)
+        log(f"hashed V={V2} index loaded: {time.time()-t0:.1f}s")
+    else:
+        base_arrays = IndexArrays.load_dir(os.path.join(
+            bench.CACHE, "index_100000_30522_200_v1024_o64.dir"))
+        h2 = hash_retile(base_arrays, V2)
+        log(f"hash_retile V={V2}: {time.time()-t0:.1f}s")
+        h2.save_dir(h2dir)
+        del base_arrays
+    for f in ("tile_ovf_comps", "tile_ovf_vals", "summary_comps",
+              "summary_codes", "dense_summary", "dense_scale",
+              "block_sketch", "block_sketch_scale", "doc_sketch",
+              "doc_sketch_scale"):
+        setattr(h2, f, None)
+    t0 = time.time()
+    index = h2.to_device(pallas_tiles=True, tile_csub=bench.CSUB,
+                         tile_hash=V2)
+    ctx = PlannerContext.from_arrays(h2, csub=bench.CSUB)
+    _sync(index.doc_tiles_aligned)
+    log(f"to_device(hash {V2})+ctx: {time.time()-t0:.1f}s")
+    for qcut in (11, 12, 14):
+        for resc, pool in ((48, 64), (96, 128)):
+            gp = dataclasses.replace(base, rescore=resc, pool=pool)
+            try:
+                dt, rec = run(gp, qcut, B, reps=8)
+                log(f"e2e B=4096 hash{V2} hier16 U8 qc{qcut} "
+                    f"pool{pool}/r{resc}: {dt*1e3:7.2f} ms  "
+                    f"recall@10={rec:.4f} QPS={B/dt:,.0f}")
+            except Exception as e:  # noqa: BLE001
+                log(f"V{V2} qc{qcut}/r{resc}: FAILED "
+                    f"{type(e).__name__}: {e}")
+    for B_ in (8192, 16384):
+        try:
+            dt, rec = run(base, 11, B_, reps=6)
+            log(f"e2e B={B_} hash{V2} hier16 U8 qc11: {dt*1e3:7.2f} ms "
+                f"recall@10={rec:.4f} QPS={B_/dt:,.0f}")
+        except Exception as e:  # noqa: BLE001
+            log(f"V{V2} B={B_}: FAILED {type(e).__name__}: {e}")
 
 
 if __name__ == "__main__":

@@ -53,7 +53,7 @@ STAGES=${*:-g h k mem j bench}
 for s in $STAGES; do
   wait_for_tunnel
   case $s in
-    g)     run_stage r3g 5400   python -m seismic_tpu.harness.probe_r3g ;;
+    g)     run_stage r3g 7200   python -m seismic_tpu.harness.probe_r3g ;;
     h)     run_stage r3h 5400   python -m seismic_tpu.harness.probe_r3h ;;
     k)     run_stage r3k 5400   python -m seismic_tpu.harness.probe_r3k 512 ;;
     mem)   run_stage mem 5400   python -m seismic_tpu.harness.bench_mem --block ;;
