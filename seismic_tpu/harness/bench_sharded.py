@@ -9,6 +9,12 @@ and per-shard work division (streamed postings per shard), which is what
 transfers to a real ICI-connected pod.
 
 Usage: python -m seismic_tpu.harness.bench_sharded [--n-docs 20000]
+
+`--grouped` instead runs the GROUPED (Pallas fast-path) sharded rungs —
+tiles and block-summary modes, (docs-only and data x docs) meshes — at a
+smaller default scale (Pallas interprets off-TPU, so wall-clock is
+meaningless; the artifact records recall + shard work division) and
+merges a "grouped" section into the existing SHARDED_BENCH.json.
 """
 
 from __future__ import annotations
@@ -32,7 +38,12 @@ def main():
     ap.add_argument("--qc", type=int, default=10)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--out", default=os.path.join(ROOT, "SHARDED_BENCH.json"))
+    ap.add_argument("--grouped", action="store_true",
+                    help="grouped fast-path rungs (tiles + block modes)")
     args = ap.parse_args()
+    if args.grouped and args.n_docs == 20000:
+        args.n_docs = 8192
+        args.batch = 32
 
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
     flags = os.environ.get("XLA_FLAGS", "")
@@ -80,6 +91,64 @@ def main():
             hits += len(rs & gs)
             tot += len(gs)
         return hits / max(tot, 1)
+
+    if args.grouped:
+        from ..search.grouped import GroupedParams
+
+        rungs = []
+        E = int(cfg.layout.max_block_len)
+        for label, n_data, n_docs_sh, tile_block in (
+            ("tiles d1xs2", 1, 2, 0),
+            ("tiles d1xs8", 1, 8, 0),
+            ("tiles d2xs4", 2, 4, 0),
+            ("block d2xs4", 2, 4, 256),
+        ):
+            mesh = make_mesh(n_docs_shards=n_docs_sh, n_data=n_data)
+            t0 = time.time()
+            sharded = ShardedIndex.build(
+                ds, mesh, cfg, pallas_tiles=True, tile_block=tile_block)
+            t_build = time.time() - t0
+            if tile_block:
+                gp = GroupedParams(k=10, score_cut=64, pool=32,
+                                   block_expand=E, compute_dtype="i8",
+                                   pool_mode="exact")
+            else:
+                gp = GroupedParams(k=10, score_cut=64, pool=128,
+                                   rescore=64, compute_dtype="f32",
+                                   pool_mode="exact")
+            t0 = time.time()
+            _, ids = sharded.search_batch_grouped(
+                q_comps, q_vals, gp, query_cut=args.qc)
+            t_compile = time.time() - t0
+            row = {
+                "rung": label,
+                "mesh": {"data": n_data, "docs": n_docs_sh},
+                "build_s": round(t_build, 2),
+                "compile_s": round(t_compile, 2),
+                "recall_at_10": round(recall(ids), 4),
+                "postings_per_shard": [
+                    int(s.list_len.sum()) for s in sharded.host_shards
+                ],
+            }
+            print(row, file=sys.stderr)
+            rungs.append(row)
+        artifact = {}
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                artifact = json.load(f)
+        artifact["grouped"] = {
+            "n_docs": args.n_docs,
+            "batch": args.batch,
+            "note": (
+                "grouped Pallas fast path over the sharded SPMD program "
+                "(interpret mode off-TPU: recall + work division only)"
+            ),
+            "rungs": rungs,
+        }
+        with open(args.out, "w") as f:
+            json.dump(artifact, f, indent=1)
+        print(json.dumps(artifact["grouped"]))
+        return
 
     results = []
     for n_shards in (1, 2, 4, 8):
