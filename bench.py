@@ -58,6 +58,9 @@ CSUB = int(os.environ.get("BENCH_CSUB", 2))
 # "block" = memory-lean block-summary pooling (block_pool_arrays +
 # GroupedParams.block_expand: no per-posting tile replication on device)
 TILE_MODE = os.environ.get("BENCH_TILE_MODE", "topv")
+# hash-mode tile width; may differ from V_CAP (the hashed retile derives
+# from the v{V_CAP} base index, e.g. a V=512 hash of the v1024 build)
+HASH_V = int(os.environ.get("BENCH_HASH_V", 0)) or V_CAP
 BLOCK_V = int(os.environ.get("BENCH_BLOCK_V", 512))
 BLOCK_POOL = int(os.environ.get("BENCH_BLOCK_POOL", 32))
 
@@ -326,7 +329,7 @@ def main():
         hdir = os.path.join(
             CACHE,
             f"index_{N_DOCS}_{DIM}_{N_POSTINGS}_v{V_CAP}"
-            f"_o{TILE_OVERFLOW}_hash{V_CAP}.dir",
+            f"_o{TILE_OVERFLOW}_hash{HASH_V}.dir",
         )
         if os.path.isdir(hdir):
             arrays = IndexArrays.load_dir(hdir)
@@ -338,9 +341,9 @@ def main():
             log(f"hashed index loaded: {hdir}")
         else:
             t0 = time.time()
-            arrays = hash_retile(arrays, V_CAP)
+            arrays = hash_retile(arrays, HASH_V)
             log(f"hash_retile: {time.time()-t0:.1f}s")
-        tile_hash = V_CAP
+        tile_hash = HASH_V
     t0 = time.time()
     index = arrays.to_device(pallas_tiles=True, tile_csub=CSUB,
                              tile_hash=tile_hash)
