@@ -40,6 +40,9 @@ def main():
     ap.add_argument("--out", default=os.path.join(ROOT, "SHARDED_BENCH.json"))
     ap.add_argument("--grouped", action="store_true",
                     help="grouped fast-path rungs (tiles + block modes)")
+    ap.add_argument("--rungs", default="",
+                    help="comma-separated rung label substrings to run "
+                         "(grouped mode); default all")
     args = ap.parse_args()
     if args.grouped and args.n_docs == 20000:
         args.n_docs = 8192
@@ -95,7 +98,35 @@ def main():
     if args.grouped:
         from ..search.grouped import GroupedParams
 
+        def write_grouped(rungs):
+            # incremental merge-write: a killed run (CPU-mesh compiles are
+            # ~40 min/rung on this 1-core host) keeps its finished rungs
+            artifact = {}
+            if os.path.exists(args.out):
+                with open(args.out) as f:
+                    artifact = json.load(f)
+            prev = {
+                r["rung"]: r
+                for r in artifact.get("grouped", {}).get("rungs", [])
+            }
+            for r in rungs:
+                prev[r["rung"]] = r
+            artifact["grouped"] = {
+                "n_docs": args.n_docs,
+                "batch": args.batch,
+                "note": (
+                    "grouped Pallas fast path over the sharded SPMD "
+                    "program (interpret mode off-TPU: recall + work "
+                    "division only)"
+                ),
+                "rungs": list(prev.values()),
+            }
+            with open(args.out, "w") as f:
+                json.dump(artifact, f, indent=1)
+            return artifact
+
         rungs = []
+        want = [s for s in args.rungs.split(",") if s]
         E = int(cfg.layout.max_block_len)
         for label, n_data, n_docs_sh, tile_block in (
             ("tiles d1xs2", 1, 2, 0),
@@ -103,6 +134,8 @@ def main():
             ("tiles d2xs4", 2, 4, 0),
             ("block d2xs4", 2, 4, 256),
         ):
+            if want and not any(w in label for w in want):
+                continue
             mesh = make_mesh(n_docs_shards=n_docs_sh, n_data=n_data)
             t0 = time.time()
             sharded = ShardedIndex.build(
@@ -132,21 +165,8 @@ def main():
             }
             print(row, file=sys.stderr)
             rungs.append(row)
-        artifact = {}
-        if os.path.exists(args.out):
-            with open(args.out) as f:
-                artifact = json.load(f)
-        artifact["grouped"] = {
-            "n_docs": args.n_docs,
-            "batch": args.batch,
-            "note": (
-                "grouped Pallas fast path over the sharded SPMD program "
-                "(interpret mode off-TPU: recall + work division only)"
-            ),
-            "rungs": rungs,
-        }
-        with open(args.out, "w") as f:
-            json.dump(artifact, f, indent=1)
+            write_grouped(rungs)
+        artifact = write_grouped(rungs)
         print(json.dumps(artifact["grouped"]))
         return
 
