@@ -107,6 +107,22 @@ def main():
             except Exception as e:  # noqa: BLE001
                 log(f"qc{qcut}/r{resc}: FAILED {type(e).__name__}: {e}")
 
+    # ---- stride pool points (pool was measured only NEUTRAL vs hier in
+    # r3e when the qloc chain dominated; with hash tiles qloc ~vanishes,
+    # so the stride pool's 8x smaller pool input may now win) ----
+    for qcut in (11, 12):
+        for resc, pool in ((48, 64), (96, 128)):
+            gp = dataclasses.replace(base, pool_mode="stride",
+                                     rescore=resc, pool=pool)
+            try:
+                dt, rec = run(gp, qcut, B, reps=8)
+                log(f"e2e B=4096 hash{V} STRIDE U8 qc{qcut} "
+                    f"pool{pool}/r{resc}: {dt*1e3:7.2f} ms  "
+                    f"recall@10={rec:.4f} QPS={B/dt:,.0f}")
+            except Exception as e:  # noqa: BLE001
+                log(f"stride qc{qcut}/r{resc}: FAILED "
+                    f"{type(e).__name__}: {e}")
+
     # ---- stage budget at qc=11 ----
     for stage in ("qloc", "expand", "kernel", "regroup", "pool",
                   "prerank", "full"):
@@ -175,6 +191,28 @@ def main():
                 f"recall@10={rec:.4f} QPS={B_/dt:,.0f}")
         except Exception as e:  # noqa: BLE001
             log(f"V{V2} B={B_}: FAILED {type(e).__name__}: {e}")
+
+    # ---- stride pool at V=512 (smallest kernel + smallest pool) ----
+    for qcut in (11, 12):
+        for resc, pool in ((48, 64), (96, 128)):
+            gp = dataclasses.replace(base, pool_mode="stride",
+                                     rescore=resc, pool=pool)
+            try:
+                dt, rec = run(gp, qcut, B, reps=8)
+                log(f"e2e B=4096 hash{V2} STRIDE U8 qc{qcut} "
+                    f"pool{pool}/r{resc}: {dt*1e3:7.2f} ms  "
+                    f"recall@10={rec:.4f} QPS={B/dt:,.0f}")
+            except Exception as e:  # noqa: BLE001
+                log(f"V{V2} stride qc{qcut}: FAILED "
+                    f"{type(e).__name__}: {e}")
+    for B_ in (16384,):
+        gp = dataclasses.replace(base, pool_mode="stride")
+        try:
+            dt, rec = run(gp, 11, B_, reps=6)
+            log(f"e2e B={B_} hash{V2} STRIDE U8 qc11: {dt*1e3:7.2f} ms "
+                f"recall@10={rec:.4f} QPS={B_/dt:,.0f}")
+        except Exception as e:  # noqa: BLE001
+            log(f"V{V2} stride B={B_}: FAILED {type(e).__name__}: {e}")
 
 
 if __name__ == "__main__":
