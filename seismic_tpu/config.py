@@ -169,6 +169,14 @@ class TpuLayout:
     # doc-tile fast path (0 disables; recovers dot mass the local vocab
     # truncates).
     tile_overflow: int = 16
+    # Hashed doc tiles (ops/pallas_tiles.py::hash_retile): > 0 makes the
+    # TPU grouped fast path score collision-summed mod-V tiles of this
+    # width instead of per-list truncated-vocab tiles. Nothing is
+    # dropped (hashed pool scores are UPPER bounds for non-negative
+    # values); collision inflation is absorbed by the exact rescore.
+    # The engine path (explicit budgets / block modes) keeps the
+    # truncated tiles. 0 = truncated local-vocab tiles everywhere.
+    tile_hash_v: int = 0
     # CountSketch width for block/doc sketches (0 disables sketches).
     sketch_dim: int = 128
     # Seed for the deterministic CountSketch hash.
