@@ -5,7 +5,10 @@
 # tunnel check fail fast and the queue re-polls instead of wedging.
 #
 # Usage: bash seismic_tpu/harness/run_r3_tpu_queue.sh [stage ...]
-#   stages default to: g h k mem j bench
+#   stages default to: c100k g c1m h k mem j bench
+#   c100k = rebuild_r3_cache 100k (dataset/index/GT/hash dir/knn after a
+#           VM reset wiped .bench_cache)
+#   c1m   = rebuild_r3_cache 1m
 #   g     = probe_r3g  (100K hashed tiles: qc x rescore grid, stages, B=16K)
 #   h     = probe_r3h  (1M hashed tiles: the recall-at-scale experiment)
 #   k     = probe_r3k  (1M block-summary pooling: lean + block gating)
@@ -25,7 +28,7 @@ wait_for_tunnel() {
   while true; do
     # devices() can list the chip while compute hangs (yesterday's
     # outage) — require an actual round-tripped computation.
-    if timeout 180 python -c "
+    if timeout 420 python -c "
 import jax, jax.numpy as jnp, numpy as np
 assert jax.devices()[0].platform != 'cpu'
 x = np.asarray(jnp.arange(8.0).sum())
@@ -49,10 +52,12 @@ run_stage() {
   fi
 }
 
-STAGES=${*:-g h k mem j bench}
+STAGES=${*:-c100k g c1m h k mem j bench}
 for s in $STAGES; do
   wait_for_tunnel
   case $s in
+    c100k) run_stage c100k 5400 python -m seismic_tpu.harness.rebuild_r3_cache 100k ;;
+    c1m)   run_stage c1m 7200   python -m seismic_tpu.harness.rebuild_r3_cache 1m ;;
     g)     run_stage r3g 7200   python -m seismic_tpu.harness.probe_r3g ;;
     h)     run_stage r3h 5400   python -m seismic_tpu.harness.probe_r3h ;;
     k)     run_stage r3k 5400   python -m seismic_tpu.harness.probe_r3k 512 ;;
