@@ -116,6 +116,7 @@ def main():
         vals = (vals * np.asarray(arrays.fwd_val_step)[:, None]
                 + np.asarray(arrays.fwd_val_min)[:, None])
     vals = np.where(mask, vals, 0.0)
+    fc_safe = np.where(mask, fc, 0)  # pad slots carry 0.0 in `vals`
     lps = np.asarray(arrays.list_post_start, np.int64)
     ll = np.asarray(arrays.list_len, np.int64)
     posts = np.asarray(arrays.postings)
@@ -167,7 +168,7 @@ def main():
                 sel = cand[order[:pool][:resc]]
                 qdense = np.zeros(bench.DIM, np.float32)
                 qdense[qc] = qv
-                exact = (qdense[fc[sel]] * vals[sel]).sum(axis=1)
+                exact = (qdense[fc_safe[sel]] * vals[sel]).sum(axis=1)
                 topk = sel[np.argsort(-exact, kind="stable")[:K]]
                 rec[(pool, resc)] += len(gset & {int(x) for x in topk})
         for pool, resc in pools:

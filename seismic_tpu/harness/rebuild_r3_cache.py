@@ -57,8 +57,11 @@ def main():
         log(f"wrote {gt_small} (subset of the {len(q_comps)}-query GT)")
     del ds
 
+    # probe_r3g showed unsigned mod-V hashed tiles collapse recall at
+    # bench scale (0.55-0.67) — don't spend ~20 min + 12.5 GB on a 1M
+    # hashed dir nothing will use; the 100k dir stays for A/B probes.
     hdir = base + "_hash1024.dir"
-    if not os.path.isdir(hdir):
+    if SCALE == "100k" and not os.path.isdir(hdir):
         from seismic_tpu.ops.pallas_tiles import hash_retile
 
         t0 = time.time()
