@@ -76,6 +76,10 @@ def main():
 
     SC, K = 64, 10
     POOLS = ((64, 48), (128, 96), (256, 128), (512, 256))
+    if os.environ.get("R3N_POOLS"):
+        POOLS = tuple(
+            tuple(int(x) for x in p.split("/"))
+            for p in os.environ["R3N_POOLS"].split(","))
     WIDTHS = [w for w in (V_BUILD, 768, 512) if w <= V_BUILD]
 
     for QC in qcuts:
