@@ -63,6 +63,15 @@ TILE_MODE = os.environ.get("BENCH_TILE_MODE", "topv")
 HASH_V = int(os.environ.get("BENCH_HASH_V", 0)) or V_CAP
 BLOCK_V = int(os.environ.get("BENCH_BLOCK_V", 512))
 BLOCK_POOL = int(os.environ.get("BENCH_BLOCK_POOL", 32))
+# topv-mode narrowed tile width (ops/pallas_tiles.py::narrow_vocab):
+# derive a V<V_CAP tile set from the v{V_CAP} build — half-width tiles
+# halve the kernel/qloc/expand stages at a small pool-recall cost
+# (probe_r3n/r3o); 0 = full build width
+NARROW_V = int(os.environ.get("BENCH_NARROW_V", 0))
+# grouped operating point (probe_r3o grid)
+POOL = int(os.environ.get("BENCH_POOL", 64))
+RESCORE = int(os.environ.get("BENCH_RESCORE", 48))
+POOL_MODE = os.environ.get("BENCH_POOL_MODE", "hier")
 
 # query_cut ladder for the grouped path (exhaustive scan of selected lists,
 # exact rescore of the top pool)
@@ -294,8 +303,6 @@ def main():
     q_comps, q_vals = get_queries(DIM)
     gt_ids = get_ground_truth(ds, q_comps, q_vals)
 
-    space = arrays.space_usage_report()
-
     def strip_unused(a):
         # the grouped + rescore path never reads the overflow entries,
         # CSR/dense summaries, or sketches — skip ~1.9 GB of upload + HBM
@@ -305,6 +312,24 @@ def main():
                   "block_sketch", "block_sketch_scale", "doc_sketch",
                   "doc_sketch_scale"):
             setattr(a, f, None)
+
+    if TILE_MODE == "topv" and NARROW_V and NARROW_V < V_CAP:
+        from seismic_tpu.ops.pallas_tiles import narrow_vocab
+        from seismic_tpu.types import IndexArrays
+
+        ndir = index_base + f"_nw{NARROW_V}.dir"
+        t0 = time.time()
+        if os.path.isdir(ndir):
+            arrays = IndexArrays.load_dir(ndir)
+            log(f"narrowed index loaded: {ndir}")
+        else:
+            arrays = narrow_vocab(arrays, NARROW_V)
+            arrays.save_dir(ndir)
+            log(f"narrow_vocab(V0={NARROW_V}): {time.time()-t0:.1f}s "
+                f"-> {ndir}")
+
+    # space is reported for the index actually served (incl. narrowing)
+    space = arrays.space_usage_report()
 
     tile_hash = 0
     if TILE_MODE == "block":
@@ -364,9 +389,10 @@ def main():
                            pool_per_pair=max(4, BLOCK_POOL // 4),
                            kernel_unroll=8)
     else:
-        gp = GroupedParams(k=K, score_cut=64, pool=64, rescore=48,
-                           compute_dtype="i8", pool_mode="hier",
-                           pool_per_pair=16, kernel_unroll=8)
+        gp = GroupedParams(k=K, score_cut=64, pool=POOL, rescore=RESCORE,
+                           compute_dtype="i8", pool_mode=POOL_MODE,
+                           pool_per_pair=16 if POOL_MODE == "hier" else 0,
+                           kernel_unroll=8)
     n_batches = max(1, N_QUERIES // BATCH)
 
     def run_rung(query_cut, B, n_b, params=gp, ix=None):
