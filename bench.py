@@ -333,16 +333,24 @@ def main():
 
     tile_hash = 0
     if TILE_MODE == "block":
-        # memory-lean configuration: hashed BLOCK-summary tiles (one row
-        # per k-means block) + block_expand exact rescore. Needs the
-        # summary arrays, so the retile runs BEFORE stripping.
-        from seismic_tpu.ops.pallas_tiles import block_pool_arrays
+        # memory-lean configuration: DENSE block-summary tiles (exact u8
+        # over the list vocab, probe_r3p) + block_expand exact rescore.
+        # Needs the summary arrays, so the retile runs BEFORE stripping.
+        from seismic_tpu.ops.pallas_tiles import block_pool_arrays, narrow_vocab
 
         t0 = time.time()
-        arrays = block_pool_arrays(arrays, BLOCK_V)
+        if arrays.dense_summary is not None:
+            if BLOCK_V < arrays.dense_summary.shape[1]:
+                arrays = narrow_vocab(arrays, BLOCK_V)
+            arrays = block_pool_arrays(arrays, BLOCK_V, mode="dense",
+                                       order_members=True)
+        else:
+            arrays = block_pool_arrays(arrays, BLOCK_V, mode="hash",
+                                       order_members=True)
+            tile_hash = BLOCK_V
         strip_unused(arrays)
-        log(f"block_pool_arrays(V={BLOCK_V}): {time.time()-t0:.1f}s")
-        tile_hash = BLOCK_V
+        log(f"block_pool_arrays(V={BLOCK_V}, "
+            f"hash={bool(tile_hash)}): {time.time()-t0:.1f}s")
     else:
         strip_unused(arrays)
     if TILE_MODE == "hash":

@@ -120,19 +120,34 @@ class _IndexBase:
         self._hash_ctx = None
 
     def _block_device_index(self):
-        """Lazy device upload of the block-summary view (lean: hashed
+        """Lazy device upload of the block-summary view (lean:
         [n_blocks, V] block tiles instead of per-posting doc tiles; the
-        i32 forward comps stay on host)."""
+        i32 forward comps stay on host). Prefers the DENSE block tiles
+        (exact u8 summaries over the list vocab, probe_r3p: pools at
+        exact-summary quality where the hashed rows lose 3-7 points);
+        falls back to hashed rows when the build skipped dense summaries
+        (summary_vocab_cap=0)."""
         if getattr(self, "_block_device", None) is None:
-            from .ops.pallas_tiles import block_pool_arrays
+            from .ops.pallas_tiles import block_pool_arrays, narrow_vocab
             from .search.planner import PlannerContext
 
-            bv = block_pool_arrays(
-                self._arrays, self._block_V, order_members=True
-            )
+            arrays = self._arrays
+            if arrays.dense_summary is not None:
+                width = int(arrays.dense_summary.shape[1])
+                if self._block_V < width and arrays.vocab_rank is not None:
+                    arrays = narrow_vocab(arrays, self._block_V)
+                    width = self._block_V
+                bv = block_pool_arrays(arrays, width, order_members=True,
+                                       mode="dense")
+                tile_hash = 0
+            else:
+                bv = block_pool_arrays(
+                    arrays, self._block_V, order_members=True, mode="hash"
+                )
+                tile_hash = self._block_V
             self._block_E = int(self._arrays.max_block_len)
             self._block_device = bv.to_device(
-                pallas_tiles=True, tile_hash=self._block_V, lean_fwd=True
+                pallas_tiles=True, tile_hash=tile_hash, lean_fwd=True
             )
             self._block_ctx = PlannerContext.from_arrays(bv)
         return self._block_device

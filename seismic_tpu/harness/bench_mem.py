@@ -73,14 +73,16 @@ def get_mem_index():
 
 
 def get_block_index():
-    """u8-forward index with CSR block summaries only (no doc tiles, no
-    dense summaries, no sketches) — the block-pool source state."""
+    """u8-forward index with block summaries only (no doc tiles, no
+    sketches) — the block-pool source state. Dense summaries ARE kept
+    (summary_vocab_cap=512): probe_r3p showed the dense block tiles pool
+    at exact-summary quality while the hashed rows lose 3-7 points."""
     from ..build.builder import build_index
     from ..config import Configuration, GlobalThresholdPruning, TpuLayout
     from ..data.sparse import CsrDataset
     from ..types import IndexArrays
 
-    path = os.path.join(CACHE, f"memindex_{N_DOCS}_{DIM}_200_blk.dir")
+    path = os.path.join(CACHE, f"memindex_{N_DOCS}_{DIM}_200_blkd.dir")
     if os.path.isdir(path):
         t = time.time()
         arrays = IndexArrays.load_dir(path)
@@ -92,7 +94,7 @@ def get_block_index():
     cfg = Configuration(
         pruning=GlobalThresholdPruning(n_postings=200, max_fraction=2.0),
         layout=TpuLayout(
-            max_block_len=32, summary_vocab_cap=0, max_doc_nnz=256,
+            max_block_len=32, summary_vocab_cap=512, max_doc_nnz=256,
             tile_overflow=0, sketch_dim=0, max_summary_nnz=128,
         ),
     )
@@ -129,10 +131,20 @@ def run_block(args):
     space = arrays.space_usage_report()
     V = args.block_v
     t0 = time.time()
-    bv = block_pool_arrays(arrays, V, order_members=True)
-    log(f"block view V={V}: {time.time()-t0:.0f}s "
+    if arrays.dense_summary is not None:
+        if V < arrays.dense_summary.shape[1]:
+            from ..ops.pallas_tiles import narrow_vocab
+
+            arrays = narrow_vocab(arrays, V)
+        bv = block_pool_arrays(arrays, V, order_members=True, mode="dense")
+        tile_hash = 0
+    else:
+        bv = block_pool_arrays(arrays, V, order_members=True, mode="hash")
+        tile_hash = V
+    log(f"block view V={V} (hash={bool(tile_hash)}): {time.time()-t0:.0f}s "
         f"rows={bv.doc_tiles.shape[0]:,}")
-    for f in ("summary_comps", "summary_codes"):
+    for f in ("summary_comps", "summary_codes", "dense_summary",
+              "dense_scale"):
         setattr(bv, f, None)
     E = int(arrays.max_block_len)
 
@@ -152,8 +164,8 @@ def run_block(args):
 
     log(f"devices: {jax.devices()}")
     t0 = time.time()
-    index = bv.to_device(pallas_tiles=True, tile_csub=2, tile_hash=V,
-                         lean_fwd=True)
+    index = bv.to_device(pallas_tiles=True, tile_csub=2,
+                         tile_hash=tile_hash, lean_fwd=True)
     ctx = PlannerContext.from_arrays(bv, csub=2)
     _sync(index.doc_tiles_aligned)
     log(f"to_device: {time.time()-t0:.0f}s")

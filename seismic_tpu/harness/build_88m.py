@@ -84,9 +84,11 @@ def main():
         layout=TpuLayout(
             max_block_len=32,
             max_summary_nnz=128,
-            # no dense summaries / doc tiles / overflow / sketches: the
-            # block-pool path reads summary_comps/codes + forward only
-            summary_vocab_cap=0,
+            # DENSE summaries on (probe_r3p: dense block tiles pool at
+            # exact-summary quality; hashed rows lose 3-7 points); no
+            # doc tiles / overflow / sketches — the block-pool path
+            # reads dense_summary + forward only
+            summary_vocab_cap=512,
             tile_overflow=0,
             sketch_dim=0,
             max_doc_nnz=192,

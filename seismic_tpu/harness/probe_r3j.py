@@ -97,8 +97,19 @@ def main():
     arrays = IndexArrays.load_dir(base + ".dir")
     log(f"8.8M index mmap-loaded: {time.time()-t0:.0f}s")
     t0 = time.time()
-    bv = block_pool_arrays(arrays, V)
-    log(f"block view V={V}: {time.time()-t0:.0f}s "
+    tile_hash = 0
+    if arrays.dense_summary is not None:
+        # DENSE block tiles (probe_r3p: exact-summary pool quality; the
+        # hashed rows lose 3-7 points of block-pool recall)
+        if V < arrays.dense_summary.shape[1]:
+            from ..ops.pallas_tiles import narrow_vocab
+
+            arrays = narrow_vocab(arrays, V)
+        bv = block_pool_arrays(arrays, V, order_members=True, mode="dense")
+    else:
+        bv = block_pool_arrays(arrays, V, order_members=True, mode="hash")
+        tile_hash = V
+    log(f"block view V={V} (hash={bool(tile_hash)}): {time.time()-t0:.0f}s "
         f"rows={bv.doc_tiles.shape[0]:,}")
     for f in ("tile_ovf_comps", "tile_ovf_vals", "summary_comps",
               "summary_codes", "dense_summary", "dense_scale",
@@ -109,8 +120,8 @@ def main():
     del arrays
 
     t0 = time.time()
-    index = bv.to_device(pallas_tiles=True, tile_csub=2, tile_hash=V,
-                         lean_fwd=True)
+    index = bv.to_device(pallas_tiles=True, tile_csub=2,
+                         tile_hash=tile_hash, lean_fwd=True)
     ctx = PlannerContext.from_arrays(bv, csub=2)
     _sync(index.doc_tiles_aligned)
     dev_b = int(sum(x.nbytes for x in jax.tree.leaves(index)

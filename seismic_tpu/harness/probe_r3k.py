@@ -65,8 +65,19 @@ def main():
     arrays = IndexArrays.load_dir(base + ".dir")
     log(f"1M index mmap-loaded: {time.time()-t0:.1f}s")
     t0 = time.time()
-    bv = block_pool_arrays(arrays, V)
-    log(f"block view V={V}: {time.time()-t0:.1f}s "
+    tile_hash = 0
+    if arrays.dense_summary is not None:
+        # DENSE block tiles (probe_r3p: exact-summary pool quality; the
+        # hashed rows lose 3-7 points of block-pool recall)
+        if V < arrays.dense_summary.shape[1]:
+            from seismic_tpu.ops.pallas_tiles import narrow_vocab
+
+            arrays = narrow_vocab(arrays, V)
+        bv = block_pool_arrays(arrays, V, order_members=True, mode="dense")
+    else:
+        bv = block_pool_arrays(arrays, V, order_members=True, mode="hash")
+        tile_hash = V
+    log(f"block view V={V} (hash={bool(tile_hash)}): {time.time()-t0:.1f}s "
         f"rows={bv.doc_tiles.shape[0]:,}")
     for f in ("tile_ovf_comps", "tile_ovf_vals", "summary_comps",
               "summary_codes", "dense_summary", "dense_scale",
@@ -80,8 +91,8 @@ def main():
         log(f"knn graph loaded: {bv.knn.shape}")
 
     t0 = time.time()
-    index = bv.to_device(pallas_tiles=True, tile_csub=2, tile_hash=V,
-                         lean_fwd=True)
+    index = bv.to_device(pallas_tiles=True, tile_csub=2,
+                         tile_hash=tile_hash, lean_fwd=True)
     ctx = PlannerContext.from_arrays(bv, csub=2)
     _sync(index.doc_tiles_aligned)
     dev_b = int(sum(x.nbytes for x in jax.tree.leaves(index)
@@ -114,7 +125,7 @@ def main():
                           compute_dtype="i8", pool_mode="hier",
                           pool_per_pair=8, kernel_unroll=8)
     for qcut in (10, 12, 14, 16):
-        for pool, ppp in ((32, 8), (64, 16), (96, 24)):
+        for pool, ppp in ((64, 16), (96, 24), (128, 32)):
             gp = dataclasses.replace(basep, pool=pool, pool_per_pair=ppp)
             try:
                 dt, rec = run(gp, qcut)

@@ -528,10 +528,22 @@ def order_block_members(arrays, chunk: int = 1 << 21):
 
 
 def block_pool_arrays(arrays, V: int, chunk: int = 262144,
-                      order_members: bool = False):
-    """A blocks-as-rows VIEW of the index for the grouped scorer: hashed
-    BLOCK-SUMMARY tiles replace the per-posting doc tiles, and the list
+                      order_members: bool = False, mode: str = "dense"):
+    """A blocks-as-rows VIEW of the index for the grouped scorer: BLOCK-
+    SUMMARY tiles replace the per-posting doc tiles, and the list
     geometry fields are remapped so one "posting row" = one block.
+
+    mode="dense" (default): tiles ARE the builder's dense_summary matrix
+    — exact u8 summary values over the list's local vocab, scored
+    through the normal per-pair qloc projection (upload with
+    to_device(tile_hash=0)). probe_r3p: exact block ranking pools at
+    0.975-0.977 (pool128) where the hashed rows stop at 0.90-0.94 —
+    mod-V sketch noise loses candidates at block granularity too.
+    To use a narrower V than the build width, narrow_vocab() FIRST,
+    then take this view (V must equal dense_summary's width).
+
+    mode="hash": collision-summed mod-V rows + per-QUERY projection
+    (upload with to_device(tile_hash=V)); kept for A/B probes.
 
     This is the memory-lean configuration (VERDICT r2 item 3): device
     state is forward index + postings + block arrays + [n_blocks, V]
@@ -569,6 +581,16 @@ def block_pool_arrays(arrays, V: int, chunk: int = 262144,
     if order_members:
         arrays = order_block_members(arrays)
     assert V % 128 == 0
+    if mode == "dense":
+        assert arrays.dense_summary is not None and (
+            arrays.dense_summary.shape[1] == V
+        ), ("mode='dense' uses the built dense_summary; narrow_vocab() "
+            "first for a narrower V", V,
+            None if arrays.dense_summary is None
+            else arrays.dense_summary.shape)
+        return _dc_replace_block_view(
+            arrays, np.asarray(arrays.dense_summary),
+            np.asarray(arrays.dense_scale, np.float32))
     sc_comps = np.asarray(arrays.summary_comps)
     sc_codes = np.asarray(arrays.summary_codes)
     s_min = np.asarray(arrays.summary_min, np.float32)
@@ -596,6 +618,12 @@ def block_pool_arrays(arrays, V: int, chunk: int = 262144,
         rs = np.maximum(mx, 1e-20) / 255.0
         tiles[s:e] = np.round(H / rs[:, None]).astype(np.uint8)
         scale[s:e] = np.where(mx > 0, rs, 0.0)
+    return _dc_replace_block_view(arrays, tiles, scale)
+
+
+def _dc_replace_block_view(arrays, tiles, scale):
+    import dataclasses as _dc
+
     return _dc.replace(
         arrays,
         doc_tiles=tiles,

@@ -102,6 +102,8 @@ def pad_shards_to_common_shapes(shards: List[IndexArrays]) -> List[IndexArrays]:
             summary_min=_pad_rows(s.summary_min, nbp, 0),
             summary_quant=_pad_rows(s.summary_quant, nbp, 0),
             list_vocab=s.list_vocab,
+            vocab_rank=s.vocab_rank,
+            vocab_csum=s.vocab_csum,
             dense_summary=None
             if s.dense_summary is None
             else _pad_rows(s.dense_summary, nbp, 0),
@@ -245,19 +247,37 @@ class ShardedIndex:
         shards = pad_shards_to_common_shapes(shards)
         if tile_block:
             # block-summary view per shard (memory-lean multi-chip
-            # configuration): hashed [n_blocks, V] block tiles + the
+            # configuration): [n_blocks, V] block tiles + the
             # block_expand exact-rescore tail. Shard searches must pass
             # GroupedParams(block_expand=...). Padded shards share block
             # geometry shapes, so the views stack like any other leaf.
+            # DENSE tiles (exact u8 summaries over the list vocab,
+            # probe_r3p) when the builds kept dense summaries; hashed
+            # rows + per-query projection otherwise.
             assert pallas_tiles, "tile_block requires pallas_tiles"
             assert not tile_hash, "tile_block and tile_hash are exclusive"
-            from ..ops.pallas_tiles import block_pool_arrays
+            from ..ops.pallas_tiles import block_pool_arrays, narrow_vocab
 
-            shards = [
-                block_pool_arrays(s, tile_block, order_members=True)
-                for s in shards
-            ]
-            tile_hash = tile_block  # block tiles use the hashed query
+            if all(s.dense_summary is not None for s in shards):
+                width = int(shards[0].dense_summary.shape[1])
+                if tile_block < width:
+                    shards = [narrow_vocab(s, tile_block) for s in shards]
+                    width = tile_block
+                assert width == tile_block, (
+                    "tile_block must be <= the build summary_vocab_cap "
+                    "for dense block tiles", width, tile_block)
+                shards = [
+                    block_pool_arrays(s, tile_block, order_members=True,
+                                      mode="dense")
+                    for s in shards
+                ]
+            else:
+                shards = [
+                    block_pool_arrays(s, tile_block, order_members=True,
+                                      mode="hash")
+                    for s in shards
+                ]
+                tile_hash = tile_block  # hashed rows use the hashed query
         elif tile_hash:
             # hashed tiles per shard (common width => stackable); the
             # grouped shard_map program hashes the query once per query,

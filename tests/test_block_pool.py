@@ -1,10 +1,13 @@
 """Block-summary pooling (ops/pallas_tiles.py::block_pool_arrays +
 GroupedParams.block_expand): the memory-lean grouped configuration where
-the scorer streams hashed BLOCK-summary tiles (one row per k-means block,
-no per-posting tile replication) and the tail expands pooled blocks into
+the scorer streams BLOCK-summary tiles (one row per k-means block, no
+per-posting tile replication) and the tail expands pooled blocks into
 member postings for the exact rescore — the TPU analogue of the
 reference's summary gate + evaluate_posting_block
-(posting_list.rs:115-215)."""
+(posting_list.rs:115-215). mode="dense" streams the builder's exact u8
+dense_summary rows through the normal per-pair qloc projection
+(probe_r3p: exact-summary pool quality); mode="hash" keeps the mod-V
+collision-summed rows + per-query projection for A/B."""
 
 import dataclasses
 
@@ -47,11 +50,11 @@ def _recall(ids, gt_ids, k=10):
 
 
 def test_block_view_geometry(setup):
-    """The block view must remap list geometry to block space and hash
-    each block's (decoded) summary into V buckets."""
+    """The block view must remap list geometry to block space and (in
+    hash mode) hash each block's (decoded) summary into V buckets."""
     ds, arrays, _, _, _ = setup
     V = 128
-    bv = block_pool_arrays(arrays, V)
+    bv = block_pool_arrays(arrays, V, mode="hash")
     assert bv.doc_tiles.shape == (arrays.summary_comps.shape[0], V)
     np.testing.assert_array_equal(
         np.asarray(bv.list_post_start), np.asarray(arrays.list_block_start)
@@ -102,13 +105,22 @@ def test_block_expand_recall(setup):
     _, i_b = search_grouped(dev, ctx, q_comps, q_vals, base, query_cut=10)
     r_b = _recall(i_b, gt_i)
 
-    V = 128
-    bv = block_pool_arrays(arrays, V)
-    devb = bv.to_device(pallas_tiles=True, tile_hash=V)
-    ctxb = PlannerContext.from_arrays(bv)
+    # DENSE block tiles (the production lean mode): exact u8 summary
+    # rows over the list vocab, per-pair qloc projection
+    bd = block_pool_arrays(arrays, 256, mode="dense")
+    devd = bd.to_device(pallas_tiles=True)
+    ctxd = PlannerContext.from_arrays(bd)
     E = int(arrays.max_block_len)
     bp = GroupedParams(k=10, score_cut=64, pool=48, block_expand=E,
                        compute_dtype="i8", pool_mode="exact")
+    _, i_d = search_grouped(devd, ctxd, q_comps, q_vals, bp, query_cut=10)
+    assert _recall(i_d, gt_i) >= r_b - 0.02
+
+    # hashed block rows (A/B mode): per-query mod-V projection
+    V = 128
+    bv = block_pool_arrays(arrays, V, mode="hash")
+    devb = bv.to_device(pallas_tiles=True, tile_hash=V)
+    ctxb = PlannerContext.from_arrays(bv)
     _, i_e = search_grouped(devb, ctxb, q_comps, q_vals, bp, query_cut=10)
     assert _recall(i_e, gt_i) >= r_b - 0.03
 
@@ -135,9 +147,8 @@ def test_block_expand_scores_exact(setup):
     """Returned scores are EXACT sparse dots (rescore from the forward
     index), not summary approximations."""
     ds, arrays, q_comps, q_vals, _ = setup
-    V = 128
-    bv = block_pool_arrays(arrays, V)
-    devb = bv.to_device(pallas_tiles=True, tile_hash=V)
+    bv = block_pool_arrays(arrays, 256, mode="dense")
+    devb = bv.to_device(pallas_tiles=True)
     ctxb = PlannerContext.from_arrays(bv)
     E = int(arrays.max_block_len)
     bp = GroupedParams(k=10, score_cut=64, pool=48, block_expand=E,
@@ -206,9 +217,9 @@ def test_order_block_members(setup):
 @pytest.mark.slow
 def test_sharded_block_pool():
     """Doc-sharded grouped search over BLOCK views (tile_block plumbed
-    through ShardedIndex) must track the single-index block run: the
-    query hash is shard-independent and the expand tail runs per shard
-    before the all-gather merge."""
+    through ShardedIndex) must track the single-index block run
+    (dense block tiles; the expand tail runs per shard before the
+    all-gather merge)."""
     from seismic_tpu.parallel.mesh import make_mesh
     from seismic_tpu.parallel.sharded import ShardedIndex
 
@@ -225,8 +236,11 @@ def test_sharded_block_pool():
     E = int(arrays.max_block_len)
     gp = GroupedParams(k=10, score_cut=64, pool=32, block_expand=E,
                        compute_dtype="i8", pool_mode="exact")
-    bv = block_pool_arrays(arrays, 128, order_members=True)
-    dev = bv.to_device(pallas_tiles=True, tile_hash=128)
+    from seismic_tpu.ops.pallas_tiles import narrow_vocab
+
+    bv = block_pool_arrays(narrow_vocab(arrays, 128), 128,
+                           order_members=True, mode="dense")
+    dev = bv.to_device(pallas_tiles=True)
     ctx = PlannerContext.from_arrays(bv)
     s_ref, i_ref = search_grouped(dev, ctx, q_comps, q_vals, gp,
                                   query_cut=8)
