@@ -71,6 +71,84 @@ def project_qloc_pallas(
     )(vocabT, qcT, qvT)
 
 
+ROWP = 32  # pairs per grid step of the row-major kernel (i8 out tiling)
+
+
+def project_qloc_rowmajor(
+    vocab,  # int16 OR int32 [P_cap, V] pair vocab rows (ROW-major)
+    qc,  # int32 [P_cap, SCP] per-pair query term ids (PAD-padded)
+    qv,  # f32 [P_cap, SCP] term values (0 at padding)
+    sc: int,  # number of real term slots to scan (<= SCP)
+    interpret: bool = False,
+):
+    """Row-major i8-quantizing projection: qloc[p, v] = sum_i qv[p, i] *
+    [vocab[p, v] == qc[p, i]], consumed and produced in the layouts the
+    neighbors already use — the [P, V] vocab gather output feeds straight
+    in, and the [P, V] int8 output feeds the slot expansion directly.
+    Eliminates the lane-major path's three materialized transposes
+    (vocabT, qcT/qvT, and the [V, P] -> [P, V] int8 transpose), the
+    round-2/3 qloc chain's dominant HBM traffic.
+
+    The lane-major kernel needed terms on the sublane axis because lane
+    slices must be 128-aligned; here each term is extracted from the
+    [ROWP, SCP] block with an iota-compare reduction over lanes (~6% of
+    the compare-loop cost), which makes the row-major broadcast scheme
+    legal Mosaic.
+
+    Returns (qloc_i8 int8 [P_cap, V], scale f32 [P_cap, 128]
+    lane-replicated; true row = qloc_i8 * scale[:, :1])."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    P_cap, V = vocab.shape
+    SCP = qc.shape[1]
+    assert P_cap % ROWP == 0 and V % 128 == 0 and SCP % 8 == 0
+    assert sc <= SCP
+
+    def kernel(vocab_ref, qc_ref, qv_ref, out_ref, scale_ref):
+        vb = vocab_ref[:].astype(jnp.int32)  # [ROWP, V]
+        qcb = qc_ref[:]  # [ROWP, SCP] int32
+        qvb = qv_ref[:]  # [ROWP, SCP] f32
+        lane = jax.lax.broadcasted_iota(jnp.int32, (ROWP, SCP), 1)
+        acc = jnp.zeros((ROWP, V), jnp.float32)
+        for i in range(sc):
+            sel = lane == i
+            c = jnp.sum(jnp.where(sel, qcb, 0), axis=1, keepdims=True)
+            v = jnp.sum(jnp.where(sel, qvb, 0.0), axis=1, keepdims=True)
+            acc = acc + jnp.where(vb == c, v, 0.0)
+        amax = jnp.max(jnp.abs(acc), axis=1, keepdims=True)  # [ROWP, 1]
+        scale = jnp.maximum(amax, 1e-20) / 127.0
+        out_ref[:] = jnp.round(acc / scale).astype(jnp.int8)
+        scale_ref[:] = jnp.broadcast_to(scale, (ROWP, 128))
+
+    grid = (P_cap // ROWP,)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((ROWP, V), lambda p: (p, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROWP, SCP), lambda p: (p, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROWP, SCP), lambda p: (p, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((ROWP, V), lambda p: (p, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROWP, 128), lambda p: (p, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((P_cap, V), jnp.int8),
+            jax.ShapeDtypeStruct((P_cap, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(vocab, qc, qv)
+
+
 def project_qloc_residue(
     vocabT,  # int16/int32 [V, P_cap] residue-R-ordered list vocabularies
     qcbT,  # int32 [R * SCB, P_cap] residue-bucketed term ids (-2 padded)

@@ -602,6 +602,46 @@ def _grouped_impl(
             qloc_pairs = qlocT.T[:B]  # [B, V]
         if params.stop_after == "qloc":
             return qlocT, qlocT
+    elif params.qloc_mode == "rowmajor":
+        # row-major i8 projection (ops/pallas_qloc.py): consumes the
+        # [P, V] vocab gather output directly and emits the [P, V] int8
+        # the slot expansion wants — none of the lane-major path's three
+        # materialized transposes (vocabT, qcT/qvT, int8 .T), which were
+        # the qloc chain's dominant HBM traffic at large B.
+        from ..ops.pallas_qloc import ROWP, project_qloc_rowmajor
+
+        assert params.compute_dtype == "i8", "rowmajor qloc is i8-only"
+        assert index.vocab_residue == 0, (
+            "rowmajor qloc and vocab_residue are exclusive")
+        P = B * QC
+        P_cap = -(-P // ROWP) * ROWP
+        pair_list_flat = plan.pair_list.reshape(P)
+        if index.vocab16 is not None:
+            vocab_rows = index.vocab16[pair_list_flat]  # [P, V] i16
+        else:
+            vocab_rows = index.list_vocab[pair_list_flat].astype(jnp.int32)
+        SCP = -(-scq // 8) * 8
+        qcP = jnp.broadcast_to(
+            top_c[:, None, :scq], (B, QC, scq)).reshape(P, scq)
+        qvP = jnp.broadcast_to(
+            top_v[:, None, :scq], (B, QC, scq)).reshape(P, scq)
+        if SCP > scq:
+            qcP = jnp.pad(qcP, ((0, 0), (0, SCP - scq)),
+                          constant_values=PAD_COMPONENT)
+            qvP = jnp.pad(qvP, ((0, 0), (0, SCP - scq)))
+        if P_cap > P:
+            vocab_rows = jnp.pad(vocab_rows, ((0, P_cap - P), (0, 0)),
+                                 constant_values=-1)
+            qcP = jnp.pad(qcP, ((0, P_cap - P), (0, 0)),
+                          constant_values=PAD_COMPONENT)
+            qvP = jnp.pad(qvP, ((0, P_cap - P), (0, 0)))
+        q_i8_full, scaleP = project_qloc_rowmajor(
+            vocab_rows, qcP, qvP, scq, interpret=interpret)
+        q_i8 = q_i8_full[:P]
+        qloc_pairs = None
+        pair_scale = scaleP[:P, 0]
+        if params.stop_after == "qloc":
+            return q_i8, q_i8
     elif params.qloc_mode == "pallas":
         from ..ops.pallas_qloc import (
             LANES,

@@ -534,3 +534,37 @@ def test_weighted_cut(setup):
         )
         rs[weighted] = _recall(np.asarray(i), gt_i)
     assert rs[True] >= rs[False] - 0.02, rs
+
+
+def test_qloc_rowmajor_matches_lane_major(setup):
+    """The row-major i8 qloc kernel (project_qloc_rowmajor) must return
+    the same results as the lane-major path: same compare-accumulate
+    order, same per-pair symmetric quantization — only the layouts (and
+    the three materialized transposes) differ."""
+    ds, arrays, ctx, q_comps, q_vals, gt_i = setup
+    dev = arrays.to_device(pallas_tiles=True)
+    lane = GroupedParams(k=10, score_cut=64, pool=64, rescore=32,
+                         compute_dtype="i8", pool_mode="exact")
+    row = GroupedParams(k=10, score_cut=64, pool=64, rescore=32,
+                        compute_dtype="i8", pool_mode="exact",
+                        qloc_mode="rowmajor")
+    s_l, i_l = search_grouped(dev, ctx, q_comps, q_vals, lane,
+                              query_cut=10)
+    s_r, i_r = search_grouped(dev, ctx, q_comps, q_vals, row,
+                              query_cut=10)
+    np.testing.assert_array_equal(i_r, i_l)
+    np.testing.assert_allclose(s_r, s_l, rtol=1e-5, atol=1e-6)
+
+    # hier pool + unrolled kernel combination (the bench operating point)
+    laneh = GroupedParams(k=10, score_cut=64, pool=64, rescore=48,
+                          compute_dtype="i8", pool_mode="hier",
+                          pool_per_pair=16, kernel_unroll=2)
+    rowh = GroupedParams(k=10, score_cut=64, pool=64, rescore=48,
+                         compute_dtype="i8", pool_mode="hier",
+                         pool_per_pair=16, kernel_unroll=2,
+                         qloc_mode="rowmajor")
+    _, i_lh = search_grouped(dev, ctx, q_comps, q_vals, laneh,
+                             query_cut=10)
+    _, i_rh = search_grouped(dev, ctx, q_comps, q_vals, rowh,
+                             query_cut=10)
+    np.testing.assert_array_equal(i_rh, i_lh)
