@@ -38,6 +38,13 @@ def main():
     import bench
     from bench import log
 
+    # bench.py arms its own 3300s compile-hang watchdog at import, which
+    # REPLACES the 7000s one above — the 100k rebuild takes ~55 min of
+    # pure CPU build on this 1-core host, so the short timer killed the
+    # 2026-08-18 run mid-save. Re-arm the long timer after the import.
+    faulthandler.cancel_dump_traceback_later()
+    faulthandler.dump_traceback_later(20000, exit=True)
+
     log(f"=== rebuild_r3_cache scale={SCALE} ===")
     ds = bench.get_dataset()
     arrays, base = bench.get_index(ds)
@@ -57,18 +64,20 @@ def main():
         log(f"wrote {gt_small} (subset of the {len(q_comps)}-query GT)")
     del ds
 
-    # probe_r3g showed unsigned mod-V hashed tiles collapse recall at
-    # bench scale (0.55-0.67) — don't spend ~20 min + 12.5 GB on a 1M
-    # hashed dir nothing will use; the 100k dir stays for A/B probes.
-    hdir = base + "_hash1024.dir"
-    if SCALE == "100k" and not os.path.isdir(hdir):
-        from seismic_tpu.ops.pallas_tiles import hash_retile
+    # The hashed-tile family is DEAD (probe_r3g/l/m: sketch noise swamps
+    # SPLADE dot margins; Roadmap "sketch family is dead") — no hash dir.
+    # What probe_r3o needs instead: narrowed truncated-vocab tile dirs
+    # derived from the v1024 build (half/three-quarter kernel width).
+    if SCALE == "100k":
+        from seismic_tpu.ops.pallas_tiles import narrow_vocab
 
-        t0 = time.time()
-        hashed = hash_retile(arrays, 1024)
-        hashed.save_dir(hdir)
-        log(f"hash_retile V=1024 + save: {time.time()-t0:.1f}s -> {hdir}")
-        del hashed
+        for W in (512, 768):
+            ndir = base + f"_nw{W}.dir"
+            if not os.path.isdir(ndir):
+                t0 = time.time()
+                narrow_vocab(arrays, W).save_dir(ndir)
+                log(f"narrow_vocab V0={W} + save: "
+                    f"{time.time()-t0:.1f}s -> {ndir}")
 
     knn_path = base + ".knn16"
     from seismic_tpu.types import KNN_SUFFIX

@@ -287,14 +287,26 @@ class IndexArrays:
         single-file npz (which streams through the zip layer on load),
         this form memory-maps on load — multi-GB indexes open in
         milliseconds and pages fault in on demand (the HBM upload then
-        reads them once, sequentially)."""
-        os.makedirs(path, exist_ok=True)
+        reads them once, sequentially).
+
+        Writes into `<path>.tmp` then renames, so an interrupted save
+        (watchdog/OOM kill mid-np.save) never leaves a half-written
+        directory that load_dir would try to open."""
+        import shutil
+
+        tmp = path.rstrip("/") + ".tmp"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp, exist_ok=True)
         for f in self._ARRAY_FIELDS:
             a = getattr(self, f)
             if a is not None:
-                np.save(os.path.join(path, f + ".npy"), self._to_savable(a))
-        with open(os.path.join(path, "meta.json"), "w") as fp:
+                np.save(os.path.join(tmp, f + ".npy"), self._to_savable(a))
+        with open(os.path.join(tmp, "meta.json"), "w") as fp:
             json.dump(self._meta_dict(), fp)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        os.replace(tmp, path)
         return path
 
     @staticmethod
