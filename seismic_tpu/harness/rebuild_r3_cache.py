@@ -68,16 +68,15 @@ def main():
     # SPLADE dot margins; Roadmap "sketch family is dead") — no hash dir.
     # What probe_r3o needs instead: narrowed truncated-vocab tile dirs
     # derived from the v1024 build (half/three-quarter kernel width).
-    if SCALE == "100k":
-        from seismic_tpu.ops.pallas_tiles import narrow_vocab
+    from seismic_tpu.ops.pallas_tiles import narrow_vocab
 
-        for W in (512, 768):
-            ndir = base + f"_nw{W}.dir"
-            if not os.path.isdir(ndir):
-                t0 = time.time()
-                narrow_vocab(arrays, W).save_dir(ndir)
-                log(f"narrow_vocab V0={W} + save: "
-                    f"{time.time()-t0:.1f}s -> {ndir}")
+    for W in (512, 768) if SCALE == "100k" else (512,):
+        ndir = base + f"_nw{W}.dir"
+        if not os.path.isdir(ndir):
+            t0 = time.time()
+            narrow_vocab(arrays, W).save_dir(ndir)
+            log(f"narrow_vocab V0={W} + save: "
+                f"{time.time()-t0:.1f}s -> {ndir}")
 
     knn_path = base + ".knn16"
     from seismic_tpu.types import KNN_SUFFIX
