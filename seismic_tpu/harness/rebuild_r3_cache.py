@@ -35,6 +35,15 @@ if SCALE == "1m":
 
 
 def main():
+    # CPU_ONLY=1: run only the numpy/C++ phases (synth, index build,
+    # narrow_vocab dirs) and skip the TPU ones (exact-search GT, knn) —
+    # lets the 1M build overlap a TPU measurement stage on this 1-core
+    # host without two TPU clients contending on the axon tunnel.
+    cpu_only = os.environ.get("R3_CACHE_CPU_ONLY") == "1"
+    if cpu_only:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     import bench
     from bench import log
 
@@ -45,11 +54,12 @@ def main():
     faulthandler.cancel_dump_traceback_later()
     faulthandler.dump_traceback_later(20000, exit=True)
 
-    log(f"=== rebuild_r3_cache scale={SCALE} ===")
+    log(f"=== rebuild_r3_cache scale={SCALE} cpu_only={cpu_only} ===")
     ds = bench.get_dataset()
     arrays, base = bench.get_index(ds)
     q_comps, q_vals = bench.get_queries(bench.DIM)
-    bench.get_ground_truth(ds, q_comps, q_vals)
+    if not cpu_only:
+        bench.get_ground_truth(ds, q_comps, q_vals)
 
     # bench_knn reads a 1024-query GT file; its queries are seed=11 =
     # the first 1024 of the bench protocol's query stream, so the subset
@@ -81,7 +91,7 @@ def main():
     knn_path = base + ".knn16"
     from seismic_tpu.types import KNN_SUFFIX
 
-    if not os.path.exists(knn_path + KNN_SUFFIX):
+    if not cpu_only and not os.path.exists(knn_path + KNN_SUFFIX):
         from seismic_tpu.search import knn as knn_mod
 
         t0 = time.time()
