@@ -92,11 +92,12 @@ def main():
             return dt, rec
 
         B = 16384
-        qcuts = (13, 14) if W == 512 else ((12, 13) if W == 768
-                                           else (11, 12))
+        qcuts = (12, 13, 14) if W == 512 else ((12, 13) if W == 768
+                                               else (11, 12))
         for qcut in qcuts:
             for mode in ("hier", "stride"):
-                for pool, resc in ((64, 32), (64, 48), (96, 64)):
+                for pool, resc in ((64, 32), (64, 48), (96, 64),
+                                   (128, 96)):
                     gp = dataclasses.replace(
                         base_gp, pool=pool, rescore=resc, pool_mode=mode,
                         pool_per_pair=16 if mode == "hier" else 0)
