@@ -65,17 +65,22 @@ BLOCK_V = int(os.environ.get("BENCH_BLOCK_V", 512))
 BLOCK_POOL = int(os.environ.get("BENCH_BLOCK_POOL", 32))
 # topv-mode narrowed tile width (ops/pallas_tiles.py::narrow_vocab):
 # derive a V<V_CAP tile set from the v{V_CAP} build — half-width tiles
-# halve the kernel/qloc/expand stages at a small pool-recall cost
-# (probe_r3n/r3o); 0 = full build width
-NARROW_V = int(os.environ.get("BENCH_NARROW_V", 0))
+# halve the kernel/qloc/expand stages at a small pool-recall cost.
+# Default 512: the round-3 operating point (probe_r3n CPU study,
+# validated on device by probe_r3o): V0=512 @ qc=14 pool64/r48 holds
+# recall 0.973 at half the kernel/qloc width. BENCH_NARROW_V=0 serves
+# the full build width (the round-2 point).
+NARROW_V = int(os.environ.get("BENCH_NARROW_V", 512))
 # grouped operating point (probe_r3o grid)
 POOL = int(os.environ.get("BENCH_POOL", 64))
 RESCORE = int(os.environ.get("BENCH_RESCORE", 48))
 POOL_MODE = os.environ.get("BENCH_POOL_MODE", "hier")
 
 # query_cut ladder for the grouped path (exhaustive scan of selected lists,
-# exact rescore of the top pool)
-QC_LADDER = [10, 11, 12, 14, 16, 20, 30]
+# exact rescore of the top pool). Narrowed tiles trade per-list vocab
+# coverage for width, so they need a deeper cut to reach 0.97 — start
+# the ladder where the narrow grid's recall begins (probe_r3n/r3o).
+QC_LADDER = [12, 13, 14, 16, 20, 30] if NARROW_V else [10, 11, 12, 14, 16, 20, 30]
 
 
 def log(*a):

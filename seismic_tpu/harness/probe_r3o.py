@@ -110,6 +110,23 @@ def main():
                         log(f"W{W} {mode} qc{qcut} p{pool}/r{resc}: "
                             f"FAILED {type(e).__name__}: {e}")
 
+        # row-major qloc kernel (a0c2a07, unmeasured on device): drops
+        # the lane-major transpose from the qloc chain; i8-only
+        for mode in ("hier", "stride"):
+            for pool, resc in ((64, 48), (128, 96)):
+                gp = dataclasses.replace(
+                    base_gp, pool=pool, rescore=resc, pool_mode=mode,
+                    pool_per_pair=16 if mode == "hier" else 0,
+                    qloc_mode="rowmajor")
+                try:
+                    dt, rec = run(gp, qcuts[-1], B, reps=4)
+                    log(f"e2e B={B} W{W} {mode} ROWMAJ qc{qcuts[-1]} "
+                        f"pool{pool}/r{resc}: {dt*1e3:7.2f} ms  "
+                        f"recall@10={rec:.4f} QPS={B/dt:,.0f}")
+                except Exception as e:  # noqa: BLE001
+                    log(f"W{W} rowmajor {mode} p{pool}/r{resc}: "
+                        f"FAILED {type(e).__name__}: {e}")
+
         # stage budget at the width's cheapest >=0.972 point (assume
         # qc=max, pool64/r48 stride; adjust offline from the grid above)
         for stage in ("qloc", "expand", "kernel", "regroup", "pool",

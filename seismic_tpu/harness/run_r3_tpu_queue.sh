@@ -58,7 +58,7 @@ for s in $STAGES; do
   case $s in
     c100k) run_stage c100k 12000 python -m seismic_tpu.harness.rebuild_r3_cache 100k ;;
     c1m)   run_stage c1m 20000  python -m seismic_tpu.harness.rebuild_r3_cache 1m ;;
-    o)     run_stage r3o 7200   python -m seismic_tpu.harness.probe_r3o 512 768 1024 ;;
+    o)     run_stage r3o 7200   python -m seismic_tpu.harness.probe_r3o 512 768 ;;
     q)     run_stage r3q 7200   python -m seismic_tpu.harness.probe_r3q 512 1024 ;;
     g)     run_stage r3g 7200   python -m seismic_tpu.harness.probe_r3g ;;
     h)     run_stage r3h 5400   python -m seismic_tpu.harness.probe_r3h ;;
