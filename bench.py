@@ -71,16 +71,44 @@ BLOCK_POOL = int(os.environ.get("BENCH_BLOCK_POOL", 32))
 # recall 0.973 at half the kernel/qloc width. BENCH_NARROW_V=0 serves
 # the full build width (the round-2 point).
 NARROW_V = int(os.environ.get("BENCH_NARROW_V", 512))
-# grouped operating point (probe_r3o grid)
+# grouped operating point (probe_r3o grid); BENCH_POOL/BENCH_RESCORE pin
+# a fixed pool config (probes/debug) — the default ladder varies them
 POOL = int(os.environ.get("BENCH_POOL", 64))
 RESCORE = int(os.environ.get("BENCH_RESCORE", 48))
 POOL_MODE = os.environ.get("BENCH_POOL_MODE", "hier")
 
-# query_cut ladder for the grouped path (exhaustive scan of selected lists,
-# exact rescore of the top pool). Narrowed tiles trade per-list vocab
-# coverage for width, so they need a deeper cut to reach 0.97 — start
-# the ladder where the narrow grid's recall begins (probe_r3n/r3o).
-QC_LADDER = [12, 13, 14, 16, 20, 30] if NARROW_V else [10, 11, 12, 14, 16, 20, 30]
+# Narrowing only actually applies on the topv path below V_CAP — key the
+# ladder on the SAME condition (round-3 advisor finding: hash/block modes
+# or BENCH_V_CAP<=512 were served with the narrow ladder, silently
+# dropping the qc=10/11 rungs).
+NARROWED = TILE_MODE == "topv" and bool(NARROW_V) and NARROW_V < V_CAP
+
+# Operating-point ladder for the grouped path: (query_cut, pool, rescore)
+# in ascending cost order (per-query streamed bytes grow with qc; the
+# pool/regroup/rescore stages grow with pool). The headline point is the
+# FIRST rung whose recall@10 meets TARGET_RECALL — never a cheaper rung
+# below the bar (round-3 verdict weak #1: the old `best - 0.003` fallback
+# measured the headline at qc=14/0.9688 while qc=16 was compliant).
+# Narrowed tiles trade per-list vocab coverage for width, so the ladder
+# starts deeper and leans on the probe_r3o sweet spots (pool96/r64,
+# pool128/r96 recover the recall the narrow width costs).
+if os.environ.get("BENCH_POOL") or os.environ.get("BENCH_RESCORE"):
+    _qcs = [12, 13, 14, 16, 20, 30] if NARROWED else [10, 11, 12, 14, 16, 20, 30]
+    LADDER = [(qc, POOL, RESCORE) for qc in _qcs]
+elif NARROWED:
+    LADDER = [
+        (12, 64, 48), (13, 64, 48), (14, 64, 48),
+        (13, 96, 64), (14, 96, 64),
+        (13, 128, 96), (14, 128, 96), (16, 128, 96),
+        (20, 128, 96), (30, 256, 128),
+    ]
+else:
+    LADDER = [
+        (10, 64, 48), (11, 64, 48), (12, 64, 48),
+        (12, 96, 64), (14, 96, 64),
+        (14, 128, 96), (16, 128, 96),
+        (20, 128, 96), (30, 256, 128),
+    ]
 
 
 def log(*a):
@@ -393,22 +421,23 @@ def main():
     log(f"device HBM bytes: {device_bytes/1e9:.2f} GB (tile_mode="
         f"{TILE_MODE})")
 
-    if TILE_MODE == "block":
-        # pool BLOCKS, expand every member posting into the exact rescore
-        # (max_block_len=32 in the bench build config)
-        gp = GroupedParams(k=K, score_cut=64, pool=BLOCK_POOL,
-                           block_expand=int(arrays.max_block_len),
-                           compute_dtype="i8", pool_mode="hier",
-                           pool_per_pair=max(4, BLOCK_POOL // 4),
-                           kernel_unroll=8)
-    else:
-        gp = GroupedParams(k=K, score_cut=64, pool=POOL, rescore=RESCORE,
-                           compute_dtype="i8", pool_mode=POOL_MODE,
-                           pool_per_pair=16 if POOL_MODE == "hier" else 0,
-                           kernel_unroll=8)
+    def make_gp(pool, rescore):
+        if TILE_MODE == "block":
+            # pool BLOCKS, expand every member posting into the exact
+            # rescore (max_block_len=32 in the bench build config)
+            return GroupedParams(k=K, score_cut=64, pool=BLOCK_POOL,
+                                 block_expand=int(arrays.max_block_len),
+                                 compute_dtype="i8", pool_mode="hier",
+                                 pool_per_pair=max(4, BLOCK_POOL // 4),
+                                 kernel_unroll=8)
+        return GroupedParams(k=K, score_cut=64, pool=pool, rescore=rescore,
+                             compute_dtype="i8", pool_mode=POOL_MODE,
+                             pool_per_pair=16 if POOL_MODE == "hier" else 0,
+                             kernel_unroll=8)
+
     n_batches = max(1, N_QUERIES // BATCH)
 
-    def run_rung(query_cut, B, n_b, params=gp, ix=None):
+    def run_rung(query_cut, B, n_b, params, ix=None):
         """Device-derived planning: the host's native planner supplies only
         the static (G_cap, W_cap); the jit program re-derives the plan
         from the queries (no plan upload)."""
@@ -428,21 +457,39 @@ def main():
             stats = plan
         return np.concatenate(outs), stats
 
-    # ---- accuracy ladder ----
+    # ---- accuracy ladder over (query_cut, pool, rescore) ----
+    # Walk the cost-ascending operating ladder; the headline point is the
+    # FIRST rung at/above TARGET_RECALL. Only if NO rung is compliant
+    # fall back to the best-recall rung, explicitly marked BELOW TARGET
+    # in the metric string (round-3 verdict weak #1).
     rungs = []
-    for query_cut in QC_LADDER:
-        ids, plan = run_rung(query_cut, BATCH, n_batches)
+    chosen = None
+    for query_cut, pool_i, resc_i in LADDER:
+        gp_i = make_gp(pool_i, resc_i)
+        ids, plan = run_rung(query_cut, BATCH, n_batches, gp_i)
         rec = recall_at_k(ids, gt_ids)
         tile_w = int(arrays.doc_tiles.shape[1])
         streamed_kb = plan.W * CSUB * 128 * tile_w / BATCH / 1e3
-        log(f"qc={query_cut}: recall@10={rec:.4f} "
+        log(f"qc={query_cut} pool={pool_i}/r{resc_i}: recall@10={rec:.4f} "
             f"streamed/query={streamed_kb:.0f}KB W={plan.W}")
-        rungs.append((query_cut, rec, streamed_kb))
+        rungs.append({"query_cut": query_cut, "pool": pool_i,
+                      "rescore": resc_i, "recall_at_10": round(rec, 4),
+                      "streamed_kb": round(streamed_kb)})
         if rec >= TARGET_RECALL:
+            chosen = (query_cut, pool_i, resc_i, rec, streamed_kb)
             break
-    best = max(r[1] for r in rungs)
-    need = min(TARGET_RECALL, best - 0.003)
-    query_cut, rec, streamed_kb = next(r for r in rungs if r[1] >= need)
+    below_target = chosen is None
+    if below_target:
+        # no compliant rung: report the best-recall one, loudly marked
+        ri = max(range(len(rungs)), key=lambda i: rungs[i]["recall_at_10"])
+        r = rungs[ri]
+        chosen = (r["query_cut"], r["pool"], r["rescore"],
+                  r["recall_at_10"], r["streamed_kb"])
+        log(f"WARNING: no ladder rung reached TARGET_RECALL="
+            f"{TARGET_RECALL}; headline is BELOW TARGET at "
+            f"recall={chosen[3]:.4f}")
+    query_cut, pool_sel, resc_sel, rec, streamed_kb = chosen
+    gp = make_gp(pool_sel, resc_sel)
 
     # ---- throughput (e2e: host caps + device-derived plan + search) ----
     def once(qc_np, qv_np, qc_dev, qv_dev):
@@ -618,16 +665,23 @@ def main():
         f"QPS={qps_best:.0f} (batch {batch_best}) recall@10={rec:.4f} "
         f"qc={query_cut} total_bench_time={time.time()-t_all:.0f}s"
     )
+    bar = (f"recall@10>={TARGET_RECALL} (measured {rec:.4f})"
+           if not below_target else
+           f"recall@10={rec:.4f} BELOW TARGET {TARGET_RECALL}")
     result = {
         "metric": (
-            f"batched QPS/chip at recall@10>={rec:.3f} "
+            f"batched QPS/chip at {bar} "
             f"(synthetic SPLADE, {N_DOCS} docs, dim {DIM}, k={K}, "
-            f"qc={query_cut}, grouped i8 MXU path + exact rescore, e2e "
+            f"qc={query_cut}, pool={pool_sel}/r{resc_sel}, "
+            f"grouped i8 MXU path + exact rescore, e2e "
             f"incl. host planning, batch {batch_best})"
         ),
         "value": round(qps_best, 1),
         "unit": "qps",
         "vs_baseline": round(qps_best / BASELINE_QPS, 2),
+        "below_target": below_target,
+        "target_recall": TARGET_RECALL,
+        "ladder": rungs,
         "qps_by_batch": {
             f"b{BATCH}": round(qps, 1),
             **({f"b{big_batch}": round(qps_big, 1)}
@@ -647,6 +701,12 @@ def main():
         "index_bytes": space,
         "device_bytes": device_bytes,
         "tile_mode": TILE_MODE,
+        # served tile width: runs are self-describing across the
+        # BENCH_NARROW_V default change (round-3 advisor finding)
+        "narrow_v": NARROW_V if NARROWED else 0,
+        "served_tile_width": int(arrays.doc_tiles.shape[1])
+        if arrays.doc_tiles is not None else None,
+        "pool_mode": POOL_MODE,
         "knn_rung": knn_rung,
         "pallas_gate": gate,
     }

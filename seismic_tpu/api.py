@@ -116,8 +116,6 @@ class _IndexBase:
         self._planner_ctx = None
         self._block_device = None
         self._block_ctx = None
-        self._hash_device = None
-        self._hash_ctx = None
 
     def _block_device_index(self):
         """Lazy device upload of the block-summary view (lean:
@@ -158,27 +156,6 @@ class _IndexBase:
 
             self._planner_ctx = PlannerContext.from_arrays(self._arrays)
         return self._planner_ctx
-
-    def _tile_hash_v(self) -> int:
-        cfg = self._arrays.config
-        return int(cfg.layout.tile_hash_v) if cfg is not None else 0
-
-    def _hash_device_index(self):
-        """Lazy device upload of the HASHED-tile view (layout.tile_hash_v
-        > 0): collision-summed mod-V doc tiles replace the truncated
-        local-vocab tiles on the grouped fast path. The host arrays (and
-        the engine path's truncated tiles) are unchanged."""
-        if getattr(self, "_hash_device", None) is None:
-            from .ops.pallas_tiles import hash_retile
-            from .search.planner import PlannerContext
-
-            V = self._tile_hash_v()
-            ha = hash_retile(self._arrays, V)
-            self._hash_device = ha.to_device(
-                pallas_tiles=True, tile_hash=V
-            )
-            self._hash_ctx = PlannerContext.from_arrays(ha)
-        return self._hash_device
 
     # ----------------------------------------------------------- accessors
     @property
@@ -372,56 +349,10 @@ class _IndexBase:
                     gp,
                 )
                 return np.asarray(scores)[:B], np.asarray(ids)[:B]
-        # Hashed-tile grouped fast path (layout.tile_hash_v > 0): scores
-        # stream mod-V collision-summed tiles (upper bounds — no vocab
-        # truncation misses), the exact rescore restores exact ordering.
-        # Serves ANY heap_factor: the grouped scan covers every posting
-        # of the selected lists, a superset of the reference's
-        # block-skipped scan, so results dominate the hf approximation.
-        # Explicit budgets or block/doc-mode overrides fall through to
-        # the engine path, which keeps the truncated-vocab tiles.
-        if (
-            self._tile_hash_v() > 0
-            and self._arrays.doc_tiles is not None
-            and block_budget is None
-            and cand_budget is None
-            and block_mode is None
-            and doc_mode is None
-        ):
-            import jax
-
-            if (
-                jax.default_backend() == "tpu"
-                or os.environ.get("SEISMIC_HASH_TILES") == "force"
-            ):
-                from .search.grouped import (
-                    DevicePlan,
-                    GroupedParams,
-                    search_grouped_jit,
-                )
-                from .search.planner import plan_grouped
-
-                import jax.numpy as jnp
-
-                index = self._hash_device_index()
-                gp = GroupedParams(
-                    k=k, score_cut=score_cut,
-                    pool=max(8 * k, 64), n_knn=n_knn,
-                    compute_dtype="i8", rescore=max(48, 2 * k),
-                    pool_mode="exact",
-                )
-                plan = plan_grouped(
-                    q_comps, q_vals, self._hash_ctx, query_cut
-                )
-                dplan = DevicePlan.put(plan)
-                scores, ids = search_grouped_jit(
-                    index,
-                    dplan,
-                    jnp.asarray(q_comps, jnp.int32),
-                    jnp.asarray(q_vals, jnp.float32),
-                    gp,
-                )
-                return np.asarray(scores)[:B], np.asarray(ids)[:B]
+        # (Round-3 note: a hashed-tile grouped fast path routed here via
+        # layout.tile_hash_v; the device grid measured recall collapse to
+        # 0.55-0.67 at bench scale, so the routing was removed and the
+        # config knob now fails loudly — see TpuLayout.__post_init__.)
         params = self._search_params(
             k, query_cut, n_knn, first_sorted, block_budget, cand_budget,
             block_mode, doc_mode, full_lists, score_cut,

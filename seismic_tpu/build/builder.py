@@ -36,8 +36,8 @@ from .pruning import prune
 from .summaries import block_summaries, dequantize_u8, quantize_u8
 
 # Fixed V grid for per-list vocabulary-coverage metadata (vocab_csum):
-# coverage at these candidate local-vocab widths drives the upload-time
-# ladder class assignment (per-list adaptive V).
+# coverage at these candidate local-vocab widths informs narrow_vocab
+# (derive a narrower tile set from a built index without rebuilding).
 VOCAB_CSUM_GRID = (128, 256, 512, 1024, 2048, 4096)
 
 
@@ -620,11 +620,11 @@ def _build_dense_structures(
     dense_scale = np.zeros(nbp, dtype=np.float32)
     doc_tiles = doc_tile_scale = None
     ovf_comps = ovf_vals = None
-    # vocab-ladder metadata (per-list adaptive V at upload time):
-    # vocab_rank[l, j] = importance rank (0 = highest summed doc value) of
-    # list_vocab[l, j]; vocab_csum[l, i] = fraction of the list's total
-    # term mass covered by its top-VOCAB_CSUM_GRID[i] terms. Both tiny;
-    # always emitted so any built index can be re-uploaded with a ladder.
+    # local-vocab importance metadata: vocab_rank[l, j] = importance
+    # rank (0 = highest summed doc value) of list_vocab[l, j];
+    # vocab_csum[l, i] = fraction of the list's total term mass covered
+    # by its top-VOCAB_CSUM_GRID[i] terms. Both tiny; always emitted so
+    # narrow_vocab can derive narrower tile sets without a rebuild.
     vocab_rank = np.full((n_lists, v_cap), np.int16(32767), dtype=np.int16)
     vocab_csum = np.zeros((n_lists, len(VOCAB_CSUM_GRID)), dtype=np.float32)
     if store_doc_tiles:
@@ -665,7 +665,7 @@ def _build_dense_structures(
         sort_pos = np.argsort(kept_u)
         kept = kept_u[sort_pos]
         list_vocab[list_id, : len(kept)] = kept
-        # ladder metadata: importance rank per kept column + coverage of
+        # narrowing metadata: importance rank per kept column + coverage of
         # the list's total term mass at the fixed V grid
         imp_order = np.argsort(-kept_sums[sort_pos], kind="stable")
         rank = np.empty(len(kept), dtype=np.int16)

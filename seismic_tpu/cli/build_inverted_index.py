@@ -62,10 +62,6 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-doc-nnz", type=int, default=0)
     p.add_argument("--summary-nnz", type=int, default=128)
     p.add_argument("--summary-vocab-cap", type=int, default=512)
-    p.add_argument("--tile-hash-v", type=int, default=0,
-                   help="hashed doc tiles of this lane-aligned width on "
-                        "the TPU grouped path (0 = truncated local-vocab "
-                        "tiles)")
     p.add_argument("--batched-indexing", type=int, default=None,
                    help="accepted for parity; ignored")
     p.add_argument("--num-threads", type=int, default=0,
@@ -131,7 +127,6 @@ def config_from_args(args):
         max_block_len=args.max_block_len,
         max_summary_nnz=args.summary_nnz,
         summary_vocab_cap=args.summary_vocab_cap,
-        tile_hash_v=args.tile_hash_v,
     )
     return Configuration(
         pruning=pruning,

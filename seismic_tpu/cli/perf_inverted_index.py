@@ -65,24 +65,14 @@ def main(argv=None) -> int:
         arrays.knn = knn_mod.load_knn(args.knn_path)
     # the grouped (list-major) Pallas path serves exhaustive-scan requests
     # (heap-factor <= 0 or --full-lists) on TPU — same dispatch rule as
-    # the Python API. An index built with layout.tile_hash_v > 0 takes
-    # the hashed-tile grouped path for ANY heap factor (the hashed scan
-    # covers every posting of the selected lists).
-    cfg_layout = arrays.config.layout if arrays.config else None
-    tile_hash = int(cfg_layout.tile_hash_v) if cfg_layout else 0
+    # the Python API.
     grouped_ok = (
         jax.default_backend() == "tpu"
         and arrays.doc_tiles is not None
-        and (args.heap_factor <= 0.0 or args.full_lists or tile_hash > 0)
+        and (args.heap_factor <= 0.0 or args.full_lists)
         and (args.doc_mode in (None, "tiles"))
     )
-    if grouped_ok and tile_hash > 0:
-        from ..ops.pallas_tiles import hash_retile
-
-        arrays = hash_retile(arrays, tile_hash)
-        index = arrays.to_device(pallas_tiles=True, tile_csub=2,
-                                 tile_hash=tile_hash)
-    elif grouped_ok:
+    if grouped_ok:
         index = arrays.to_device(pallas_tiles=True, tile_csub=2)
     else:
         index = arrays.to_device()

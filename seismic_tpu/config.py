@@ -169,13 +169,13 @@ class TpuLayout:
     # doc-tile fast path (0 disables; recovers dot mass the local vocab
     # truncates).
     tile_overflow: int = 16
-    # Hashed doc tiles (ops/pallas_tiles.py::hash_retile): > 0 makes the
-    # TPU grouped fast path score collision-summed mod-V tiles of this
-    # width instead of per-list truncated-vocab tiles. Nothing is
-    # dropped (hashed pool scores are UPPER bounds for non-negative
-    # values); collision inflation is absorbed by the exact rescore.
-    # The engine path (explicit budgets / block modes) keeps the
-    # truncated tiles. 0 = truncated local-vocab tiles everywhere.
+    # REMOVED knob (round 3): hashed collision-summed doc tiles. The
+    # device grid measured recall collapse to 0.55-0.67 at bench scale
+    # (docs/Roadmap.md round-3 session 2, probes r3g/l/m: CountSketch
+    # collision noise swamps SPLADE dot margins), so the public routing
+    # was deleted; any nonzero value fails loudly in __post_init__
+    # rather than silently serving collapsed recall. The field survives
+    # only so old serialized configs deserialize into a clear error.
     tile_hash_v: int = 0
     # CountSketch width for block/doc sketches (0 disables sketches).
     sketch_dim: int = 128
@@ -183,6 +183,17 @@ class TpuLayout:
     sketch_seed: int = 42
     # Round tile shapes up to multiples of this (TPU lane width).
     lane: int = 128
+
+    def __post_init__(self):
+        if self.tile_hash_v:
+            raise ValueError(
+                "TpuLayout.tile_hash_v was removed: hashed doc tiles "
+                "measured recall@10 of 0.55-0.67 at bench scale on "
+                "device (round-3 probes r3g/l/m; docs/Roadmap.md) — "
+                "collision noise swamps SPLADE dot margins. Use the "
+                "default truncated local-vocab tiles (tile_hash_v=0) "
+                "or the block-summary lean mode instead."
+            )
 
     def rounded_doc_nnz(self) -> int:
         return _round_up(self.max_doc_nnz, self.lane)

@@ -1,0 +1,69 @@
+#!/bin/bash
+# Round-4 TPU measurement queue — the evidence round (VERDICT r3 asks
+# 1-4): drain the staged 1M / lean / 8.8M measurements that round 3
+# queued but never ran, then the fixed-integrity headline bench.
+#
+# ONE TPU process at a time (axon quirk: concurrent TPU clients contend
+# on the tunnel). Each stage is timeout-bounded; a dead tunnel makes the
+# tunnel check fail fast and the queue re-polls instead of wedging.
+#
+# Usage: bash seismic_tpu/harness/run_r4_tpu_queue.sh [stage ...]
+#   stages default to: c1m mem q k
+#   c1m   = rebuild_r3_cache 1m (dataset/index/GT/narrow dirs/knn16)
+#   mem   = bench_mem --block   (fast-and-lean artifact -> MEM_BENCH)
+#   q     = probe_r3q 512 1024  (1M deep pools + knn: recall-at-scale)
+#   k     = probe_r3k 512       (1M block-summary pooling, lean at scale)
+#   b88   = build_88m           (8.8M dataset+index build, CPU-heavy)
+#   j     = probe_r3j 512       (8.8M rung -> SCALE88_BENCH, incl. GT)
+#   bench = bench.py            (headline protocol, at-bar selection)
+set -u
+cd "$(dirname "$0")/../.."
+LOGDIR=/tmp/r4queue
+mkdir -p "$LOGDIR"
+
+log() { echo "[queue $(date +%H:%M:%S)] $*" | tee -a "$LOGDIR/queue.log"; }
+
+wait_for_tunnel() {
+  # jax.devices() hangs machine-wide when the axon tunnel is down; bound
+  # the probe and poll until it answers. Require a round-tripped
+  # computation — devices() can list the chip while compute hangs.
+  while true; do
+    if timeout 420 python -c "
+import jax, jax.numpy as jnp, numpy as np
+assert jax.devices()[0].platform != 'cpu'
+x = np.asarray(jnp.arange(8.0).sum())
+assert float(x) == 28.0, x
+print('tunnel compute ok')" >>"$LOGDIR/tunnel.log" 2>&1; then
+      log "tunnel up"
+      return 0
+    fi
+    log "tunnel down; sleeping 600s"
+    sleep 600
+  done
+}
+
+run_stage() {
+  name=$1; bound=$2; shift 2
+  log "stage $name: START ($*)"
+  if timeout "$bound" "$@" >"$LOGDIR/$name.log" 2>&1; then
+    log "stage $name: OK"
+  else
+    log "stage $name: FAILED rc=$? (see $LOGDIR/$name.log)"
+  fi
+}
+
+STAGES=${*:-c1m mem q k}
+for s in $STAGES; do
+  case $s in b88) ;; *) wait_for_tunnel ;; esac
+  case $s in
+    c1m)   run_stage c1m 20000  python -m seismic_tpu.harness.rebuild_r3_cache 1m ;;
+    mem)   run_stage mem 7200   python -m seismic_tpu.harness.bench_mem --block ;;
+    q)     run_stage r3q 9000   python -m seismic_tpu.harness.probe_r3q 512 1024 ;;
+    k)     run_stage r3k 7200   python -m seismic_tpu.harness.probe_r3k 512 ;;
+    b88)   run_stage b88 28000  env JAX_PLATFORMS=cpu python -m seismic_tpu.harness.build_88m ;;
+    j)     run_stage r3j 12000  python -m seismic_tpu.harness.probe_r3j 512 ;;
+    bench) run_stage bench 5400 python bench.py ;;
+    *)     log "unknown stage $s" ;;
+  esac
+done
+log "queue complete"

@@ -204,10 +204,6 @@ class ShardedIndex:
         from ..build.builder import build_index
 
         config = config or Configuration()
-        if not tile_hash and not tile_block and pallas_tiles:
-            # an index configured for hashed tiles (layout.tile_hash_v)
-            # shards with them by default, like the single-chip API
-            tile_hash = int(config.layout.tile_hash_v)
         n_shards = mesh.shape["docs"]
         n = len(dataset)
         bounds = np.linspace(0, n, n_shards + 1).astype(np.int64)

@@ -83,11 +83,12 @@ class IndexArrays:
     # dense tile truncates)
     tile_ovf_comps: Optional[np.ndarray] = None  # int32 [total_postings_pad, O]
     tile_ovf_vals: Optional[np.ndarray] = None  # f16 [total_postings_pad, O]
-    # vocab-ladder metadata (per-list adaptive V at upload time):
-    # vocab_rank[l, j] = importance rank of list_vocab[l, j] within its
-    # list (0 = largest summed doc value; 32767 = PAD); vocab_csum[l, i] =
-    # coverage of the list's total term mass by its top-GRID[i] terms
-    # (grid: build.builder.VOCAB_CSUM_GRID)
+    # local-vocab importance metadata (consumed by
+    # ops/pallas_tiles.py::narrow_vocab to derive narrower-width tile
+    # sets without rebuilding): vocab_rank[l, j] = importance rank of
+    # list_vocab[l, j] within its list (0 = largest summed doc value;
+    # 32767 = PAD); vocab_csum[l, i] = coverage of the list's total term
+    # mass by its top-GRID[i] terms (grid: build.builder.VOCAB_CSUM_GRID)
     vocab_rank: Optional[np.ndarray] = None  # int16 [n_lists, V]
     vocab_csum: Optional[np.ndarray] = None  # f32 [n_lists, len(grid)]
 
@@ -339,9 +340,7 @@ class IndexArrays:
     # ------------------------------------------------------------- device
     def to_device(self, device=None, pallas_tiles: bool = False,
                   tile_csub: int = 1, super_summaries: bool = False,
-                  _aligned=None, ladder: tuple = (),
-                  ladder_coverage: float = 0.995,
-                  _ladder_prepped=None,
+                  _aligned=None,
                   vocab_residue: int = 0,
                   tile_hash: int = 0,
                   lean_fwd: bool = False):
@@ -362,16 +361,11 @@ class IndexArrays:
             # reorder list vocabularies (and tile columns) into static
             # residue groups for the bucketed qloc kernel; upload-time
             # only — the on-disk index stays residue-free
-            assert not ladder, (
-                "vocab_residue with ladder is not supported yet (the "
-                "ladder's vocab_rank metadata indexes the importance "
-                "column order)"
-            )
             from .ops.pallas_tiles import residue_permute_arrays
 
             return residue_permute_arrays(self, vocab_residue).to_device(
                 device, pallas_tiles, tile_csub, super_summaries,
-                _aligned, ladder, ladder_coverage,
+                _aligned,
             )
 
         def put(a):
@@ -380,8 +374,8 @@ class IndexArrays:
             return jax.device_put(jnp.asarray(a), device)
 
         extra = {}
-        # ladder metadata is host-side (class assignment happens at prep
-        # time); never spend HBM on it
+        # narrowing metadata is host-side (narrow_vocab consumes it at
+        # derive time); never spend HBM on it
         skip = {"vocab_rank", "vocab_csum"}
         fuse_fwd = (pallas_tiles and self.fwd_comps is not None
                     and self.fwd_val_min is None)
@@ -436,34 +430,8 @@ class IndexArrays:
                 np.asarray(self.list_len),
             )
             extra["list_weight"] = put(lw)
-        if ladder and self.doc_tiles is not None:
-            # vocab ladder: per-class tile pools at per-list adaptive V
-            # (search/ladder.py). Replaces the single aligned layout.
-            from .search.ladder import LadderClass, prepare_ladder
-
-            if _ladder_prepped is not None:
-                list_class, class_hosts = _ladder_prepped
-            else:
-                list_class, class_hosts = prepare_ladder(
-                    self, ladder, coverage=ladder_coverage, csub=tile_csub
-                )
-            extra["ladder"] = tuple(
-                LadderClass(
-                    tiles=put(h["tiles"]),
-                    scale3d=put(h["scale3d"]),
-                    region_start=put(h["region_start"]),
-                    vocab16=put(h["vocab16"]),
-                    list_len=put(h["list_len"]),
-                    V=h["V"],
-                    ll_max=h["ll_max"],
-                    zero_region=h["zero_region"],
-                )
-                for h in class_hosts
-            )
-            extra["list_class"] = put(list_class.astype(np.int32))
-            skip |= {"doc_tiles", "doc_tile_scale"}
-        elif pallas_tiles and (self.doc_tiles is not None
-                               or _aligned is not None):
+        if pallas_tiles and (self.doc_tiles is not None
+                             or _aligned is not None):
             if _aligned is not None:
                 tiles_i8, scale3d, region_start = _aligned
             else:
@@ -556,11 +524,8 @@ class DeviceIndex:
     # rescore gather is bound by gathered-row COUNT on this device, so one
     # fused gather replaces the separate comps+vals gathers (probe_r3b)
     fwd_fused: object = None
-    # vocab ladder (search/ladder.py): tuple of LadderClass pytrees (per-
-    # list adaptive local-vocab width) + per-list class assignment
-    ladder: object = None
-    list_class: object = None
-    # ladder metadata mirrors (unused on device; kept off)
+    # vocab-rank metadata mirrors (host-side only; kept off device —
+    # narrow_vocab consumes them at derive time)
     vocab_rank: object = None
     vocab_csum: object = None
     dim: int = 0

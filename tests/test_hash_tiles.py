@@ -184,48 +184,10 @@ def test_sharded_hash_tiles():
             assert abs(ref[d] - got[d]) < 1e-3 * max(1.0, abs(ref[d]))
 
 
-@pytest.mark.slow
-def test_api_tile_hash_v(toy_documents_path, toy_queries_path, monkeypatch):
-    """layout.tile_hash_v routes the public batch_search through the
-    hashed-tile grouped path (forced on CPU via SEISMIC_HASH_TILES); its
-    results must track the default truncated-tile path, for plain and
-    heap_factor > 0 requests alike (the hashed scan covers every posting
-    of the selected lists, a superset of the block-skipped scan)."""
-    import json
-
-    from seismic_tpu import SeismicIndex
-
-    monkeypatch.setenv("SEISMIC_HASH_TILES", "force")
-    idx = SeismicIndex.build(
-        toy_documents_path, n_postings=100,
-        layout=TpuLayout(max_block_len=16, summary_vocab_cap=256,
-                         tile_hash_v=128),
-    )
-    queries = [json.loads(l) for l in open(toy_queries_path)]
-    qids = np.array([q["id"] for q in queries], dtype="U30")
-    qc = [np.array(list(q["vector"].keys()), dtype="U30")
-          for q in queries]
-    qv = [np.array(list(q["vector"].values()), dtype=np.float32)
-          for q in queries]
-    r_h = idx.batch_search(qids, qc, qv, k=5, query_cut=20,
-                           heap_factor=0.7)
-    assert idx._hash_device is not None  # the hashed path actually ran
-    assert idx._hash_device.tile_hash == 128
-    monkeypatch.delenv("SEISMIC_HASH_TILES")
-    idx2 = SeismicIndex.build(toy_documents_path, n_postings=100,
-                              layout=TpuLayout(max_block_len=16,
-                                               summary_vocab_cap=256))
-    r_t = idx2.batch_search(qids, qc, qv, k=5, query_cut=20,
-                            heap_factor=0.7)
-    agree = tot = 0
-    for a, b in zip(r_h, r_t):
-        agree += len({t[2] for t in a} & {t[2] for t in b})
-        tot += len(b)
-    assert agree >= 0.9 * tot
-    # scores on shared docs are exact dots over f16-stored values; the
-    # two paths accumulate in different orders, so allow f16-scale noise
-    for a, b in zip(r_h, r_t):
-        sa = {t[2]: t[1] for t in a}
-        sb = {t[2]: t[1] for t in b}
-        for d in set(sa) & set(sb):
-            assert abs(sa[d] - sb[d]) < 1e-2 * max(1.0, abs(sb[d]))
+def test_tile_hash_v_removed_fails_loudly():
+    """The public tile_hash_v knob is dead (round-3 device grid: recall
+    collapsed to 0.55-0.67 at bench scale — docs/Roadmap.md). An index
+    config that still sets it must fail loudly at construction, never
+    silently serve collapsed recall (round-3 verdict weak #5)."""
+    with pytest.raises(ValueError, match="tile_hash_v was removed"):
+        TpuLayout(max_block_len=16, summary_vocab_cap=256, tile_hash_v=128)
