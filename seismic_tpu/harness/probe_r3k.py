@@ -101,6 +101,28 @@ def main():
         f"device={dev_b/1e9:.2f}GB")
 
     B = 2048
+    rows = []
+
+    def flush_rows():
+        import json
+
+        path = os.path.join(ROOT, "SCALE_BENCH.json")
+        art = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                art = json.load(f)
+        art["rungs_r4_block_lean"] = {
+            "note": (
+                "round-4 probe_r3k: memory-lean block-summary pooling at "
+                "1M docs (dense [n_blocks, V] block tiles + block_expand "
+                "exact rescore, u8 lean forward), B=2048"
+            ),
+            "V": V,
+            "device_bytes": dev_b,
+            "rungs": rows,
+        }
+        with open(path, "w") as f:
+            json.dump(art, f, indent=1)
 
     def run(gp, qcut, reps=8, with_recall=True):
         qn, vn = q_comps[:B], q_vals[:B]
@@ -132,6 +154,12 @@ def main():
                 log(f"e2e 1M block V{V} qc{qcut} p{pool}xE{E}: "
                     f"{dt*1e3:8.2f} ms  recall@10={rec:.4f} "
                     f"QPS={B/dt:,.0f}")
+                rows.append({
+                    "query_cut": qcut, "pool": pool, "E": E,
+                    "ms_per_batch": round(dt * 1e3, 2),
+                    "qps": round(B / dt, 1),
+                    "recall_at_10": round(rec, 4)})
+                flush_rows()
             except Exception as e:  # noqa: BLE001
                 log(f"qc{qcut}/p{pool}: FAILED {type(e).__name__}: {e}")
 
@@ -145,6 +173,12 @@ def main():
                 log(f"e2e 1M block knn{nk} qc{qcut} p{pool}: "
                     f"{dt*1e3:8.2f} ms  recall@10={rec:.4f} "
                     f"QPS={B/dt:,.0f}")
+                rows.append({
+                    "query_cut": qcut, "pool": pool, "E": E, "n_knn": nk,
+                    "ms_per_batch": round(dt * 1e3, 2),
+                    "qps": round(B / dt, 1),
+                    "recall_at_10": round(rec, 4)})
+                flush_rows()
             except Exception as e:  # noqa: BLE001
                 log(f"knn qc{qcut}: FAILED {type(e).__name__}: {e}")
 

@@ -40,6 +40,30 @@ os.environ.setdefault("BENCH_N_POSTINGS", "400")
 os.environ.setdefault("BENCH_TILE_OVERFLOW", "0")
 
 
+def _write_scale_rungs(rows, hbm_by_width):
+    """Merge this probe's measured rungs into SCALE_BENCH.json (round-4
+    evidence: the 1M deep-pool + knn grid becomes a repo-root artifact,
+    not just a probe log). Incremental: called after every width."""
+    import json
+
+    path = os.path.join(ROOT, "SCALE_BENCH.json")
+    art = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            art = json.load(f)
+    art["rungs_r4_deep_pools"] = {
+        "note": (
+            "round-4 probe_r3q: deep pools (p128-512) + knn8 at 1M docs "
+            "on the v1024 build (W=1024 full tiles / W=512 narrowed), "
+            "B=2048, grouped i8 kernel_unroll=8 derive path"
+        ),
+        "device_bytes_by_width": hbm_by_width,
+        "rungs": rows,
+    }
+    with open(path, "w") as f:
+        json.dump(art, f, indent=1)
+
+
 def main():
     import bench
     from bench import _sync, log, recall_at_k
@@ -79,6 +103,8 @@ def main():
                             compute_dtype="i8", pool_mode="hier",
                             pool_per_pair=16, kernel_unroll=8)
     B = 2048
+    rows = []
+    hbm_by_width = {}
 
     for W in widths:
         path = base + ".dir" if W == 1024 else base + f"_nw{W}.dir"
@@ -99,6 +125,7 @@ def main():
         hbm = int(sum(x.nbytes for x in jax.tree.leaves(index)
                       if hasattr(x, "nbytes")))
         log(f"[W={W}] device HBM: {hbm/1e9:.2f} GB")
+        hbm_by_width[str(W)] = hbm
 
         def run(gp, qcut, reps=4, with_recall=True, ix=None):
             qd = jnp.asarray(q_comps[:B], jnp.int32)
@@ -132,6 +159,13 @@ def main():
                         log(f"e2e B={B} W{W} {mode} U8 qc{qcut} "
                             f"pool{pool}/r{resc}: {dt*1e3:7.2f} ms  "
                             f"recall@10={rec:.4f} QPS={B/dt:,.0f}")
+                        rows.append({
+                            "W": W, "mode": mode, "query_cut": qcut,
+                            "pool": pool, "rescore": resc,
+                            "ms_per_batch": round(dt * 1e3, 2),
+                            "qps": round(B / dt, 1),
+                            "recall_at_10": round(rec, 4)})
+                        _write_scale_rungs(rows, hbm_by_width)
                     except Exception as e:  # noqa: BLE001
                         log(f"W{W} {mode} qc{qcut} p{pool}/r{resc}: "
                             f"FAILED {type(e).__name__}: {e}")
@@ -150,6 +184,13 @@ def main():
                     log(f"knn8 B={B} W{W} qc{qcut} pool{pool}/r{resc}: "
                         f"{dt*1e3:7.2f} ms  recall@10={rec:.4f} "
                         f"QPS={B/dt:,.0f}")
+                    rows.append({
+                        "W": W, "mode": "knn8", "query_cut": qcut,
+                        "pool": pool, "rescore": resc, "n_knn": 8,
+                        "ms_per_batch": round(dt * 1e3, 2),
+                        "qps": round(B / dt, 1),
+                        "recall_at_10": round(rec, 4)})
+                    _write_scale_rungs(rows, hbm_by_width)
                 except Exception as e:  # noqa: BLE001
                     log(f"knn8 W{W} qc{qcut} p{pool}/r{resc}: "
                         f"FAILED {type(e).__name__}: {e}")

@@ -239,6 +239,7 @@ class ShardedIndex:
         tile_csub: int = 1,
         tile_hash: int = 0,
         tile_block: int = 0,
+        lean_fwd: bool = False,
     ) -> "ShardedIndex":
         shards = pad_shards_to_common_shapes(shards)
         if tile_block:
@@ -301,11 +302,12 @@ class ShardedIndex:
             ]
             devices = [
                 s.to_device(pallas_tiles=True, tile_csub=tile_csub,
-                            _aligned=a, tile_hash=tile_hash)
+                            _aligned=a, tile_hash=tile_hash,
+                            lean_fwd=lean_fwd)
                 for s, a in zip(shards, aligned)
             ]
         else:
-            devices = [s.to_device() for s in shards]
+            devices = [s.to_device(lean_fwd=lean_fwd) for s in shards]
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *devices)
 
         def shard_leaf(x):
