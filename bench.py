@@ -76,6 +76,11 @@ NARROW_V = int(os.environ.get("BENCH_NARROW_V", 512))
 POOL = int(os.environ.get("BENCH_POOL", 64))
 RESCORE = int(os.environ.get("BENCH_RESCORE", 48))
 POOL_MODE = os.environ.get("BENCH_POOL_MODE", "hier")
+# plan group size for the large-batch program: M=16 halves the hot
+# lists' tile streaming once groups fill (probe_r4a: +12% QPS at
+# B=16384, identical recall; round-3 measured M=16 NEGATIVE at B=4096
+# where groups don't fill — so the B=BATCH path keeps M=8)
+M_BIG = int(os.environ.get("BENCH_M_BIG", 16))
 
 # Narrowing only actually applies on the topv path below V_CAP — key the
 # ladder on the SAME condition (round-3 advisor finding: hash/block modes
@@ -540,11 +545,11 @@ def main():
     if N_QUERIES > BATCH:
         qcB = jnp.asarray(q_comps, jnp.int32)
         qvB = jnp.asarray(q_vals, jnp.float32)
-        gcB, wcB = plan_caps(q_comps, q_vals, ctx, query_cut, M=8)
+        gcB, wcB = plan_caps(q_comps, q_vals, ctx, query_cut, M=M_BIG)
 
         def once_big():
             return search_grouped_derive_jit(
-                index, qcB, qvB, gp, query_cut, 8, gcB, wcB,
+                index, qcB, qvB, gp, query_cut, M_BIG, gcB, wcB,
                 ctx.zero_region,
             )
 
@@ -707,6 +712,7 @@ def main():
         "served_tile_width": int(arrays.doc_tiles.shape[1])
         if arrays.doc_tiles is not None else None,
         "pool_mode": POOL_MODE,
+        "m_big": M_BIG,
         "knn_rung": knn_rung,
         "pallas_gate": gate,
     }
