@@ -170,29 +170,54 @@ def main():
                         log(f"W{W} {mode} qc{qcut} p{pool}/r{resc}: "
                             f"FAILED {type(e).__name__}: {e}")
 
-        # knn8 rung (graph refine absorbs absent-miss tail)
+        # qc=20 deep points (probe_r4c: ABSENT ceiling 0.9830 at qc20 —
+        # the bar is pool-bound; these rungs buy ceiling headroom)
+        for pool, resc in ((256, 128), (512, 256)):
+            gp = dataclasses.replace(
+                base_gp, pool=pool, rescore=resc, pool_mode="hier",
+                pool_per_pair=16)
+            try:
+                dt, rec = run(gp, 20)
+                log(f"e2e B={B} W{W} hier U8 qc20 pool{pool}/r{resc}: "
+                    f"{dt*1e3:7.2f} ms  recall@10={rec:.4f} "
+                    f"QPS={B/dt:,.0f}")
+                rows.append({
+                    "W": W, "mode": "hier", "query_cut": 20,
+                    "pool": pool, "rescore": resc,
+                    "ms_per_batch": round(dt * 1e3, 2),
+                    "qps": round(B / dt, 1),
+                    "recall_at_10": round(rec, 4)})
+                _write_scale_rungs(rows, hbm_by_width)
+            except Exception as e:  # noqa: BLE001
+                log(f"W{W} hier qc20 p{pool}/r{resc}: "
+                    f"FAILED {type(e).__name__}: {e}")
+
+        # knn rungs (graph refine absorbs the pool-miss tail)
         if knn_host is not None:
             ixk = dataclasses.replace(
                 index, knn=jax.device_put(jnp.asarray(knn_host)))
-            for qcut, pool, resc in ((14, 128, 96), (14, 256, 128),
-                                     (16, 256, 128)):
+            for qcut, pool, resc, nk in ((14, 128, 96, 8),
+                                         (14, 256, 128, 8),
+                                         (16, 256, 128, 8),
+                                         (16, 512, 256, 8),
+                                         (16, 256, 128, 16)):
                 gp = dataclasses.replace(
-                    base_gp, pool=pool, rescore=resc, n_knn=8,
+                    base_gp, pool=pool, rescore=resc, n_knn=nk,
                     pool_mode="approx", pool_per_pair=0)
                 try:
                     dt, rec = run(gp, qcut, ix=ixk)
-                    log(f"knn8 B={B} W{W} qc{qcut} pool{pool}/r{resc}: "
+                    log(f"knn{nk} B={B} W{W} qc{qcut} pool{pool}/r{resc}: "
                         f"{dt*1e3:7.2f} ms  recall@10={rec:.4f} "
                         f"QPS={B/dt:,.0f}")
                     rows.append({
-                        "W": W, "mode": "knn8", "query_cut": qcut,
-                        "pool": pool, "rescore": resc, "n_knn": 8,
+                        "W": W, "mode": f"knn{nk}", "query_cut": qcut,
+                        "pool": pool, "rescore": resc, "n_knn": nk,
                         "ms_per_batch": round(dt * 1e3, 2),
                         "qps": round(B / dt, 1),
                         "recall_at_10": round(rec, 4)})
                     _write_scale_rungs(rows, hbm_by_width)
                 except Exception as e:  # noqa: BLE001
-                    log(f"knn8 W{W} qc{qcut} p{pool}/r{resc}: "
+                    log(f"knn{nk} W{W} qc{qcut} p{pool}/r{resc}: "
                         f"FAILED {type(e).__name__}: {e}")
             del ixk
 
