@@ -21,6 +21,11 @@ cd "$(dirname "$0")/../.."
 LOGDIR=/tmp/r4queue
 mkdir -p "$LOGDIR"
 
+# serialize queue instances machine-wide (one TPU client at a time);
+# a second invocation blocks here until the first finishes
+exec 9>"$LOGDIR/tpu.lock"
+flock 9
+
 log() { echo "[queue $(date +%H:%M:%S)] $*" | tee -a "$LOGDIR/queue.log"; }
 
 wait_for_tunnel() {
@@ -62,6 +67,7 @@ for s in $STAGES; do
     k)     run_stage r3k 7200   python -m seismic_tpu.harness.probe_r3k 512 ;;
     b88)   run_stage b88 28000  env JAX_PLATFORMS=cpu python -m seismic_tpu.harness.build_88m ;;
     j)     run_stage r3j 12000  python -m seismic_tpu.harness.probe_r3j 512 ;;
+    r4d)   run_stage r4d 7200   python -m seismic_tpu.harness.probe_r4d 512 ;;
     bench) run_stage bench 5400 python bench.py ;;
     *)     log "unknown stage $s" ;;
   esac
