@@ -88,31 +88,42 @@ M_BIG = int(os.environ.get("BENCH_M_BIG", 16))
 # dropping the qc=10/11 rungs).
 NARROWED = TILE_MODE == "topv" and bool(NARROW_V) and NARROW_V < V_CAP
 
-# Operating-point ladder for the grouped path: (query_cut, pool, rescore)
-# in ascending cost order (per-query streamed bytes grow with qc; the
-# pool/regroup/rescore stages grow with pool). The headline point is the
+# Operating-point ladder for the grouped path:
+# (query_cut, pool, rescore, n_knn) in ascending cost order (per-query
+# streamed bytes grow with qc; the pool/regroup/rescore stages grow with
+# pool; n_knn>0 adds one k*n_knn-row exact-rescore round, the reference's
+# Knn::refine, inverted_index.rs:551-593). The headline point is the
 # FIRST rung whose recall@10 meets TARGET_RECALL — never a cheaper rung
 # below the bar (round-3 verdict weak #1: the old `best - 0.003` fallback
 # measured the headline at qc=14/0.9688 while qc=16 was compliant).
+# knn rungs are skipped when no cached graph exists; the graph's bytes
+# count toward the reported index size when the headline uses it.
 # Narrowed tiles trade per-list vocab coverage for width, so the ladder
 # starts deeper and leans on the probe_r3o sweet spots (pool96/r64,
 # pool128/r96 recover the recall the narrow width costs).
+N_KNN_ENV = int(os.environ.get("BENCH_N_KNN", 0))
 if os.environ.get("BENCH_POOL") or os.environ.get("BENCH_RESCORE"):
     _qcs = [12, 13, 14, 16, 20, 30] if NARROWED else [10, 11, 12, 14, 16, 20, 30]
-    LADDER = [(qc, POOL, RESCORE) for qc in _qcs]
+    LADDER = [(qc, POOL, RESCORE, N_KNN_ENV) for qc in _qcs]
 elif NARROWED:
     LADDER = [
-        (12, 64, 48), (13, 64, 48), (14, 64, 48),
-        (13, 96, 64), (14, 96, 64),
-        (13, 128, 96), (14, 128, 96), (16, 128, 96),
-        (20, 128, 96), (30, 256, 128),
+        # knn-refined cheap bases first (probe_r4d: refine costs one
+        # short rescore round and buys +1.5-3pt)
+        (10, 64, 48, 16), (11, 64, 48, 16), (11, 96, 64, 16),
+        (12, 96, 64, 16), (13, 96, 64, 16),
+        # plain rungs (no graph / graph missing)
+        (12, 64, 48, 0), (13, 64, 48, 0), (14, 64, 48, 0),
+        (13, 96, 64, 0), (14, 96, 64, 0),
+        (13, 128, 96, 0), (14, 128, 96, 0), (16, 128, 96, 0),
+        (20, 128, 96, 0), (30, 256, 128, 0),
     ]
 else:
     LADDER = [
-        (10, 64, 48), (11, 64, 48), (12, 64, 48),
-        (12, 96, 64), (14, 96, 64),
-        (14, 128, 96), (16, 128, 96),
-        (20, 128, 96), (30, 256, 128),
+        (10, 64, 48, 16), (10, 96, 64, 16), (11, 96, 64, 16),
+        (10, 64, 48, 0), (11, 64, 48, 0), (12, 64, 48, 0),
+        (12, 96, 64, 0), (14, 96, 64, 0),
+        (14, 128, 96, 0), (16, 128, 96, 0),
+        (20, 128, 96, 0), (30, 256, 128, 0),
     ]
 
 
@@ -420,13 +431,29 @@ def main():
                              tile_hash=tile_hash)
     ctx = PlannerContext.from_arrays(arrays, csub=CSUB)
     log(f"to_device+ctx: {time.time()-t0:.1f}s")
+
+    # cached kNN graph (built once by bench_knn / the cache rebuild):
+    # enables the knn-refined ladder rungs; its bytes are added to the
+    # reported index size if the headline rung uses it
+    import dataclasses as _dcl
+
+    from seismic_tpu.search import knn as knn_mod
+    from seismic_tpu.types import KNN_SUFFIX
+
+    knn_path = index_base + ".knn16"
+    knn_np = None
+    if os.path.exists(knn_path + KNN_SUFFIX):
+        knn_np = knn_mod.load_knn(knn_path)
+        index = _dcl.replace(index,
+                             knn=jax.device_put(jnp.asarray(knn_np)))
+        log(f"knn graph attached: {knn_np.shape}")
     device_bytes = int(sum(
         x.nbytes for x in jax.tree.leaves(index) if hasattr(x, "nbytes")
     ))
     log(f"device HBM bytes: {device_bytes/1e9:.2f} GB (tile_mode="
         f"{TILE_MODE})")
 
-    def make_gp(pool, rescore):
+    def make_gp(pool, rescore, n_knn=0):
         if TILE_MODE == "block":
             # pool BLOCKS, expand every member posting into the exact
             # rescore (max_block_len=32 in the bench build config)
@@ -434,11 +461,11 @@ def main():
                                  block_expand=int(arrays.max_block_len),
                                  compute_dtype="i8", pool_mode="hier",
                                  pool_per_pair=max(4, BLOCK_POOL // 4),
-                                 kernel_unroll=8)
+                                 kernel_unroll=8, n_knn=n_knn)
         return GroupedParams(k=K, score_cut=64, pool=pool, rescore=rescore,
                              compute_dtype="i8", pool_mode=POOL_MODE,
                              pool_per_pair=16 if POOL_MODE == "hier" else 0,
-                             kernel_unroll=8)
+                             kernel_unroll=8, n_knn=n_knn)
 
     n_batches = max(1, N_QUERIES // BATCH)
 
@@ -469,32 +496,40 @@ def main():
     # in the metric string (round-3 verdict weak #1).
     rungs = []
     chosen = None
-    for query_cut, pool_i, resc_i in LADDER:
-        gp_i = make_gp(pool_i, resc_i)
+    for query_cut, pool_i, resc_i, nk_i in LADDER:
+        if nk_i > 0 and knn_np is None:
+            continue  # no cached graph: knn rungs unavailable
+        gp_i = make_gp(pool_i, resc_i, nk_i)
         ids, plan = run_rung(query_cut, BATCH, n_batches, gp_i)
         rec = recall_at_k(ids, gt_ids)
         tile_w = int(arrays.doc_tiles.shape[1])
         streamed_kb = plan.W * CSUB * 128 * tile_w / BATCH / 1e3
-        log(f"qc={query_cut} pool={pool_i}/r{resc_i}: recall@10={rec:.4f} "
+        log(f"qc={query_cut} pool={pool_i}/r{resc_i} knn={nk_i}: "
+            f"recall@10={rec:.4f} "
             f"streamed/query={streamed_kb:.0f}KB W={plan.W}")
         rungs.append({"query_cut": query_cut, "pool": pool_i,
-                      "rescore": resc_i, "recall_at_10": round(rec, 4),
+                      "rescore": resc_i, "n_knn": nk_i,
+                      "recall_at_10": round(rec, 4),
                       "streamed_kb": round(streamed_kb)})
         if rec >= TARGET_RECALL:
-            chosen = (query_cut, pool_i, resc_i, rec, streamed_kb)
+            chosen = (query_cut, pool_i, resc_i, nk_i, rec, streamed_kb)
             break
     below_target = chosen is None
     if below_target:
         # no compliant rung: report the best-recall one, loudly marked
         ri = max(range(len(rungs)), key=lambda i: rungs[i]["recall_at_10"])
         r = rungs[ri]
-        chosen = (r["query_cut"], r["pool"], r["rescore"],
+        chosen = (r["query_cut"], r["pool"], r["rescore"], r["n_knn"],
                   r["recall_at_10"], r["streamed_kb"])
         log(f"WARNING: no ladder rung reached TARGET_RECALL="
             f"{TARGET_RECALL}; headline is BELOW TARGET at "
-            f"recall={chosen[3]:.4f}")
-    query_cut, pool_sel, resc_sel, rec, streamed_kb = chosen
-    gp = make_gp(pool_sel, resc_sel)
+            f"recall={chosen[4]:.4f}")
+    query_cut, pool_sel, resc_sel, nknn_sel, rec, streamed_kb = chosen
+    gp = make_gp(pool_sel, resc_sel, nknn_sel)
+    if nknn_sel > 0:
+        # the graph is part of the served index: count its bytes
+        space["knn"] = int(knn_np.nbytes)
+        space["total"] = int(space.get("total", 0)) + int(knn_np.nbytes)
 
     # ---- throughput (e2e: host caps + device-derived plan + search) ----
     def once(qc_np, qv_np, qc_dev, qv_dev):
@@ -617,45 +652,36 @@ def main():
         )
     log(f"device-only latency ms (pipelined): {device_ms}")
 
-    # ---- optional kNN-refinement rung (graph cached by bench_knn) ----
+    # ---- deep kNN-refinement rung (best-recall side point) ----
+    # The ladder above owns the headline; this rung records the recall
+    # ceiling a deeper (qc=14, knn16) refined point reaches.
     knn_rung = None
-    knn_path = index_base + ".knn16"
-    from seismic_tpu.types import KNN_SUFFIX
-    from seismic_tpu.search import knn as knn_mod
-
-    if os.path.exists(knn_path + KNN_SUFFIX):
-        import dataclasses
-
-        arrays.knn = knn_mod.load_knn(knn_path)
-        index_knn = dataclasses.replace(
-            index, knn=jax.device_put(jnp.asarray(arrays.knn))
-        )
-        import dataclasses as _dcl
-
+    if knn_np is not None and nknn_sel == 0:
         if TILE_MODE == "block":
             gp_knn = _dcl.replace(gp, pool_mode="approx", n_knn=8)
         else:
-            gp_knn = GroupedParams(k=K, score_cut=64, pool=64, rescore=48,
-                                   compute_dtype="i8", pool_mode="approx",
-                                   n_knn=8)
+            gp_knn = GroupedParams(k=K, score_cut=64, pool=96, rescore=64,
+                                   compute_dtype="i8", pool_mode="hier",
+                                   pool_per_pair=16, kernel_unroll=8,
+                                   n_knn=16)
         qc_rung = 14
         gc, wc = plan_caps(q_comps[:1024], q_vals[:1024], ctx, qc_rung,
                            M=8)
         kqd = jnp.asarray(q_comps[:1024], jnp.int32)
         kvd = jnp.asarray(q_vals[:1024], jnp.float32)
         out = _sync(search_grouped_derive_jit(
-            index_knn, kqd, kvd, gp_knn, qc_rung, 8, gc, wc,
+            index, kqd, kvd, gp_knn, qc_rung, 8, gc, wc,
             ctx.zero_region))
         r_knn = recall_at_k(np.asarray(out[1]), gt_ids[:1024])
         t0 = time.time()
         for _ in range(5):
             out = search_grouped_derive_jit(
-                index_knn, kqd, kvd, gp_knn, qc_rung, 8, gc, wc,
+                index, kqd, kvd, gp_knn, qc_rung, 8, gc, wc,
                 ctx.zero_region)
         _sync(out)
         dt = (time.time() - t0) / 5
         knn_rung = {
-            "query_cut": qc_rung, "n_knn": 8,
+            "query_cut": qc_rung, "n_knn": gp_knn.n_knn,
             "recall_at_10": round(r_knn, 4),
             "qps": round(1024 / dt, 1),
         }
@@ -678,6 +704,7 @@ def main():
             f"batched QPS/chip at {bar} "
             f"(synthetic SPLADE, {N_DOCS} docs, dim {DIM}, k={K}, "
             f"qc={query_cut}, pool={pool_sel}/r{resc_sel}, "
+            f"n_knn={nknn_sel}, "
             f"grouped i8 MXU path + exact rescore, e2e "
             f"incl. host planning, batch {batch_best})"
         ),
@@ -712,6 +739,7 @@ def main():
         "served_tile_width": int(arrays.doc_tiles.shape[1])
         if arrays.doc_tiles is not None else None,
         "pool_mode": POOL_MODE,
+        "n_knn": nknn_sel,
         "m_big": M_BIG,
         "knn_rung": knn_rung,
         "pallas_gate": gate,

@@ -62,12 +62,13 @@ for s in $STAGES; do
   case $s in b88) ;; *) wait_for_tunnel ;; esac
   case $s in
     c1m)   run_stage c1m 20000  python -m seismic_tpu.harness.rebuild_r3_cache 1m ;;
-    mem)   run_stage mem 7200   python -m seismic_tpu.harness.bench_mem --block ;;
+    mem)   run_stage mem 7200   python -m seismic_tpu.harness.bench_mem --block --batch 4096 ;;
     q)     run_stage r3q 9000   python -m seismic_tpu.harness.probe_r3q 512 1024 ;;
     k)     run_stage r3k 7200   python -m seismic_tpu.harness.probe_r3k 512 ;;
     b88)   run_stage b88 28000  env JAX_PLATFORMS=cpu python -m seismic_tpu.harness.build_88m ;;
     j)     run_stage r3j 12000  python -m seismic_tpu.harness.probe_r3j 512 ;;
     r4d)   run_stage r4d 7200   python -m seismic_tpu.harness.probe_r4d 512 ;;
+    r4e)   run_stage r4e 9000   python -m seismic_tpu.harness.probe_r4e 1024 512 ;;
     bench) run_stage bench 5400 python bench.py ;;
     *)     log "unknown stage $s" ;;
   esac

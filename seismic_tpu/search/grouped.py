@@ -57,6 +57,10 @@ class GroupedParams:
     # apply the out-of-vocab overflow correction (requires tile_ovf arrays)
     use_ovf: bool = True
     n_knn: int = 0
+    # refinement rounds: 2 = also rescore the neighbors of the REFINED
+    # top-k (a depth-2 graph walk; the reference's Knn::refine is one
+    # round). Each extra round costs one more k*n_knn-row rescore.
+    knn_rounds: int = 1
     # kernel matmul width: "bf16" = MXU-native (u8 codes exact; qloc
     # rounded to 8 mantissa bits), "f32" = exact-operand reference
     compute_dtype: str = "bf16"
@@ -340,25 +344,26 @@ def _knn_refine_grouped(index, params, top_c, top_v, sc, top_scores,
     B, k = top_ids.shape
     n_docs = index.n_docs
     n_knn = min(params.n_knn, index.knn.shape[1])
-    safe_top = jnp.clip(top_ids, 0, n_docs - 1)
-    neigh = index.knn[safe_top][..., :n_knn].reshape(B, k * n_knn)
-    neigh_valid = (
-        jnp.isfinite(top_scores)[:, :, None]
-        .repeat(n_knn, axis=2)
-        .reshape(B, k * n_knn)
-    ) & (neigh >= 0)
-    nscores = rescore_exact(
-        index, jnp.where(neigh_valid, neigh, 0), top_c, top_v, sc,
-        interpret=interpret,
-    )
-    nscores = jnp.where(neigh_valid, nscores, -jnp.inf)
-    neigh = jnp.where(neigh_valid, neigh, n_docs)
-    all_scores = jnp.concatenate([top_scores, nscores], axis=1)
-    all_ids = jnp.concatenate([top_ids, neigh], axis=1)
-    all_scores, all_ids = _dedup_by_id(all_scores, all_ids, n_docs)
-    out_scores, pos = jax.lax.top_k(all_scores, k)
-    out_ids = jnp.take_along_axis(all_ids, pos, axis=1)
-    return out_scores, out_ids
+    for _ in range(max(1, params.knn_rounds)):
+        safe_top = jnp.clip(top_ids, 0, n_docs - 1)
+        neigh = index.knn[safe_top][..., :n_knn].reshape(B, k * n_knn)
+        neigh_valid = (
+            jnp.isfinite(top_scores)[:, :, None]
+            .repeat(n_knn, axis=2)
+            .reshape(B, k * n_knn)
+        ) & (neigh >= 0)
+        nscores = rescore_exact(
+            index, jnp.where(neigh_valid, neigh, 0), top_c, top_v, sc,
+            interpret=interpret,
+        )
+        nscores = jnp.where(neigh_valid, nscores, -jnp.inf)
+        neigh = jnp.where(neigh_valid, neigh, n_docs)
+        all_scores = jnp.concatenate([top_scores, nscores], axis=1)
+        all_ids = jnp.concatenate([top_ids, neigh], axis=1)
+        all_scores, all_ids = _dedup_by_id(all_scores, all_ids, n_docs)
+        top_scores, pos = jax.lax.top_k(all_scores, k)
+        top_ids = jnp.take_along_axis(all_ids, pos, axis=1)
+    return top_scores, top_ids
 
 
 def _dedup_with_payload(scores, ids, payload, n_docs: int):

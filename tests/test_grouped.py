@@ -198,10 +198,15 @@ def test_grouped_rescore_knn_refine(setup):
     dev = arrays.to_device(pallas_tiles=True)
     base = GroupedParams(k=10, score_cut=64, pool=128, rescore=48)
     ref = GroupedParams(k=10, score_cut=64, pool=128, rescore=48, n_knn=6)
+    ref2 = GroupedParams(k=10, score_cut=64, pool=128, rescore=48,
+                         n_knn=6, knn_rounds=2)
     _, i0 = search_grouped(dev, ctx, q_comps, q_vals, base, query_cut=6)
     _, i1 = search_grouped(dev, ctx, q_comps, q_vals, ref, query_cut=6)
-    r0, r1 = _recall(i0, gt_i), _recall(i1, gt_i)
+    _, i2 = search_grouped(dev, ctx, q_comps, q_vals, ref2, query_cut=6)
+    r0, r1, r2 = _recall(i0, gt_i), _recall(i1, gt_i), _recall(i2, gt_i)
     assert r1 >= r0 - 1e-9
+    # a second refinement round (depth-2 graph walk) never loses recall
+    assert r2 >= r1 - 1e-9
     arrays.knn = None
 
 
