@@ -107,14 +107,16 @@ if os.environ.get("BENCH_POOL") or os.environ.get("BENCH_RESCORE"):
     LADDER = [(qc, POOL, RESCORE, N_KNN_ENV) for qc in _qcs]
 elif NARROWED:
     LADDER = [
-        # knn-refined cheap bases first (probe_r4d: refine costs one
-        # short rescore round and buys +1.5-3pt)
-        (10, 64, 48, 16), (11, 64, 48, 16), (11, 96, 64, 16),
-        (12, 96, 64, 16), (13, 96, 64, 16),
-        # plain rungs (no graph / graph missing)
+        # MEASURED cost order (probe_r4d, B=16384 M16): the knn-refined
+        # rungs cost ~1.5-1.6x their plain base (one k*n_knn-row exact
+        # rescore round), so plain rungs come first — qc13 p96/r64 knn0
+        # (174 ms, 0.9701) beats qc11 p96/r64 knn16 (269 ms, 0.9708).
         (12, 64, 48, 0), (13, 64, 48, 0), (14, 64, 48, 0),
-        (13, 96, 64, 0), (14, 96, 64, 0),
+        (12, 96, 64, 0), (13, 96, 64, 0), (14, 96, 64, 0),
         (13, 128, 96, 0), (14, 128, 96, 0), (16, 128, 96, 0),
+        # knn-refined fallbacks (+1.5-3pt recall over their base)
+        (12, 96, 64, 8), (13, 96, 64, 8),
+        (12, 96, 64, 16), (13, 96, 64, 16),
         (20, 128, 96, 0), (30, 256, 128, 0),
     ]
 else:

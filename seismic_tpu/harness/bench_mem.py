@@ -136,10 +136,12 @@ def run_block(args):
             from ..ops.pallas_tiles import narrow_vocab
 
             arrays = narrow_vocab(arrays, V)
-        bv = block_pool_arrays(arrays, V, order_members=True, mode="dense")
+        bv = block_pool_arrays(arrays, V, order_members=True, mode="dense",
+                               pack_bins=True)
         tile_hash = 0
     else:
-        bv = block_pool_arrays(arrays, V, order_members=True, mode="hash")
+        bv = block_pool_arrays(arrays, V, order_members=True, mode="hash",
+                               pack_bins=True)
         tile_hash = V
     log(f"block view V={V} (hash={bool(tile_hash)}): {time.time()-t0:.0f}s "
         f"rows={bv.doc_tiles.shape[0]:,}")
@@ -149,8 +151,11 @@ def run_block(args):
     E = int(arrays.max_block_len)
 
     def _sync(out):
+        # sum with a f32 ACCUMULATOR (dtype=), never a materialized f32
+        # cast: .astype() on the 4 GB aligned tiles allocated a 16 GB
+        # device copy and OOMed the round-4 mem stage
         x = [l for l in jax.tree.leaves(out) if hasattr(l, "shape")][0]
-        np.asarray(jnp.sum(x.astype(jnp.float32)))
+        np.asarray(jnp.sum(x, dtype=jnp.float32))
         return out
 
     def recall_at_k(ids, gt_ids, k=10):
@@ -164,9 +169,10 @@ def run_block(args):
 
     log(f"devices: {jax.devices()}")
     t0 = time.time()
-    index = bv.to_device(pallas_tiles=True, tile_csub=2,
+    # csub=1 with bin-packed regions: one 128-row bin per pair DMA
+    index = bv.to_device(pallas_tiles=True, tile_csub=1,
                          tile_hash=tile_hash, lean_fwd=True)
-    ctx = PlannerContext.from_arrays(bv, csub=2)
+    ctx = PlannerContext.from_arrays(bv, csub=1)
     _sync(index.doc_tiles_aligned)
     log(f"to_device: {time.time()-t0:.0f}s")
     dev_b = int(sum(x.nbytes for x in jax.tree.leaves(index)
@@ -194,6 +200,23 @@ def run_block(args):
                          compute_dtype="i8", pool_mode="hier",
                          pool_per_pair=8, kernel_unroll=8)
     rows = []
+
+    def flush():
+        # incremental: a timeout mid-ladder still leaves the rungs run
+        artifact = _block_artifact(space, dev_b, fwd_f32, V, B, rows)
+        path = os.path.join(ROOT, "MEM_BENCH.json")
+        merged = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                prev = json.load(f)
+            merged = prev if "block_mode" in prev else {
+                "rescore_mode": prev
+            }
+        merged["block_mode"] = artifact
+        with open(path, "w") as f:
+            json.dump(merged, f, indent=1)
+        return artifact
+
     for qcut in (10, 12, 14, 16):
         for pool, ppp, Ee in ((16, 4, E), (32, 8, E), (48, 12, E),
                               (64, 16, E), (32, 8, 16)):
@@ -217,11 +240,17 @@ def run_block(args):
                        "recall_at_10": round(rec, 4)}
                 log(str(row))
                 rows.append(row)
+                flush()
             except Exception as e:  # noqa: BLE001
                 log(f"qc{qcut}/p{pool}/E{Ee}: FAILED "
                     f"{type(e).__name__}: {e}")
 
-    artifact = {
+    # merge: the round-2 rescore-mode rung stays as its own section
+    print(json.dumps(flush()))
+
+
+def _block_artifact(space, dev_b, fwd_f32, V, B, rows):
+    return {
         "space": space,
         "device_bytes": dev_b,
         "ratio_vs_f32_forward": round(dev_b / fwd_f32, 3),
@@ -236,17 +265,6 @@ def run_block(args):
         ),
         "rungs": rows,
     }
-    # merge: the round-2 rescore-mode rung stays as its own section
-    path = os.path.join(ROOT, "MEM_BENCH.json")
-    merged = {}
-    if os.path.exists(path):
-        with open(path) as f:
-            prev = json.load(f)
-        merged = prev if "block_mode" in prev else {"rescore_mode": prev}
-    merged["block_mode"] = artifact
-    with open(path, "w") as f:
-        json.dump(merged, f, indent=1)
-    print(json.dumps(artifact))
 
 
 def main():

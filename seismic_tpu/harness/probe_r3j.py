@@ -84,8 +84,11 @@ def main():
     log("devices:", jax.devices())
 
     def _sync(out):
+        # f32 ACCUMULATOR (dtype=), never .astype(): a materialized f32
+        # cast of the multi-GB aligned tiles is a 4x device copy (OOMed
+        # the round-4 mem stage)
         x = [l for l in jax.tree.leaves(out) if hasattr(l, "shape")][0]
-        np.asarray(jnp.sum(x.astype(jnp.float32)))
+        np.asarray(jnp.sum(x, dtype=jnp.float32))
         return out
 
     qz = np.load(os.path.join(CACHE, f"queries88_{DIM}_2048.npz"))
@@ -105,9 +108,11 @@ def main():
             from ..ops.pallas_tiles import narrow_vocab
 
             arrays = narrow_vocab(arrays, V)
-        bv = block_pool_arrays(arrays, V, order_members=True, mode="dense")
+        bv = block_pool_arrays(arrays, V, order_members=True, mode="dense",
+                               pack_bins=True)
     else:
-        bv = block_pool_arrays(arrays, V, order_members=True, mode="hash")
+        bv = block_pool_arrays(arrays, V, order_members=True, mode="hash",
+                               pack_bins=True)
         tile_hash = V
     log(f"block view V={V} (hash={bool(tile_hash)}): {time.time()-t0:.0f}s "
         f"rows={bv.doc_tiles.shape[0]:,}")
@@ -120,9 +125,11 @@ def main():
     del arrays
 
     t0 = time.time()
-    index = bv.to_device(pallas_tiles=True, tile_csub=2,
+    # csub=1 + bin-packed regions: the unpacked csub=2 layout OOMed at
+    # 19.07G arguments vs 15.75G HBM (round-4 first attempt)
+    index = bv.to_device(pallas_tiles=True, tile_csub=1,
                          tile_hash=tile_hash, lean_fwd=True)
-    ctx = PlannerContext.from_arrays(bv, csub=2)
+    ctx = PlannerContext.from_arrays(bv, csub=1)
     _sync(index.doc_tiles_aligned)
     dev_b = int(sum(x.nbytes for x in jax.tree.leaves(index)
                     if hasattr(x, "nbytes")))
@@ -156,6 +163,25 @@ def main():
                           compute_dtype="i8", pool_mode="hier",
                           pool_per_pair=8, kernel_unroll=8)
     results = []
+
+    def flush():
+        # incremental: a timeout mid-ladder still leaves the rungs run
+        out = {
+            "n_docs": N_DOCS, "dim": DIM, "n_postings": N_POSTINGS,
+            "tile_mode": "block", "V": V, "batch": B,
+            "device_bytes": dev_b,
+            "note": (
+                "8.8M-doc single-chip rung: bin-packed block-summary "
+                "pooling + block_expand exact rescore; per-posting "
+                "tiles are infeasible at this scale (>=50 GB). "
+                "Reference bar: accuracy@10 0.99 on 8.8M MS MARCO "
+                "(reference docs/Guidelines.md:41-67)."
+            ),
+            "rungs": results,
+        }
+        with open(os.path.join(ROOT, "SCALE88_BENCH.json"), "w") as f:
+            json.dump(out, f, indent=1)
+
     for qcut in (10, 12, 14, 16):
         for pool, ppp in ((32, 8), (64, 16), (96, 24)):
             gp = dataclasses.replace(basep, pool=pool, pool_per_pair=ppp)
@@ -170,24 +196,10 @@ def main():
                     "qps": round(B / dt, 1),
                     "ms_per_batch": round(dt * 1e3, 2),
                 })
+                flush()
             except Exception as e:  # noqa: BLE001
                 log(f"qc{qcut}/p{pool}: FAILED {type(e).__name__}: {e}")
-
-    out = {
-        "n_docs": N_DOCS, "dim": DIM, "n_postings": N_POSTINGS,
-        "tile_mode": "block", "V": V, "batch": B,
-        "device_bytes": dev_b,
-        "note": (
-            "8.8M-doc single-chip rung: block-summary pooling + "
-            "block_expand exact rescore; per-posting tiles are "
-            "infeasible at this scale (>=50 GB). Reference bar: "
-            "accuracy@10 0.99 on 8.8M MS MARCO "
-            "(reference docs/Guidelines.md:41-67)."
-        ),
-        "rungs": results,
-    }
-    with open(os.path.join(ROOT, "SCALE88_BENCH.json"), "w") as f:
-        json.dump(out, f, indent=1)
+    flush()
     log("wrote SCALE88_BENCH.json")
 
 

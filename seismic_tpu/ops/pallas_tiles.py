@@ -99,6 +99,8 @@ def tile_region_starts(arrays, csub: int = 1) -> np.ndarray:
     of csub subtiles, so work items covering csub consecutive subtiles
     (one [csub*SUB, V] DMA, amortizing per-grid-step overhead) stay
     block-aligned. Pure metadata — does NOT materialize the tiles."""
+    if getattr(arrays, "pack_bins", False):
+        return packed_region_layout(arrays.list_len, csub)[0]
     list_len = arrays.list_len.astype(np.int64)
     n_tiles_per_list = np.maximum(1, -(-list_len // SUB))
     if csub > 1:
@@ -108,6 +110,53 @@ def tile_region_starts(arrays, csub: int = 1) -> np.ndarray:
     return region_start
 
 
+def packed_region_layout(list_len, csub: int = 1):
+    """Bin-packed aligned layout for views whose lists are tiny compared
+    to the csub*SUB-row region grain (the block view: ~12 block rows per
+    list on the 100K bench vs 128-256-row regions — a 20x padding blowup
+    that sank the lean-memory story, round-4 mem stage OOM).
+
+    Lists are packed NEXT-FIT in id order into csub*SUB-row bins: a list
+    that does not fit the open bin's remainder starts a new bin; a list
+    longer than one bin gets an exclusive multi-super-tile region
+    (row_off 0), exactly like the unpacked layout. Each list therefore
+    spans rows [row_off, row_off + len) of ONE work item's DMA window
+    (or an exclusive region), and the kernel's per-pair output carries
+    bin-mates' rows as garbage that the regroup masks drop
+    (search/grouped.py lower-bound masks).
+
+    Returns (region_start int64 [n_lists] in SUBTILE units, csub-aligned;
+    row_off int32 [n_lists] rows within the region; n_sub_total subtiles
+    in the packed body)."""
+    ll = np.asarray(list_len, np.int64)
+    n = len(ll)
+    cap = csub * SUB
+    region_start = np.zeros(n, np.int64)
+    row_off = np.zeros(n, np.int32)
+    cur_bin = 0  # super-tile index of the open bin
+    cur_fill = cap  # rows used in the open bin (cap => none open)
+    next_sup = 0  # next free super-tile index
+    for li in range(n):
+        ln = int(ll[li])
+        if ln == 0:
+            continue  # empty list: region 0 / row_off 0, never planned
+        if ln > cap:
+            # exclusive region (multi super-tile), standard alignment
+            nsup = -(-(-(-ln // SUB)) // csub)
+            region_start[li] = next_sup * csub
+            next_sup += nsup
+            cur_fill = cap  # bins never straddle an exclusive region
+            continue
+        if ln > cap - cur_fill:
+            cur_bin = next_sup
+            next_sup += 1
+            cur_fill = 0
+        region_start[li] = cur_bin * csub
+        row_off[li] = cur_fill
+        cur_fill += ln
+    return region_start, row_off, next_sup * csub
+
+
 def pallas_align_doc_tiles(arrays, ll_pad: int, csub: int = 1):
     """Re-pack `doc_tiles`/`doc_tile_scale` so every list's region starts at
     a multiple of SUB rows (csub*SUB rows when csub > 1); the tail is
@@ -115,15 +164,27 @@ def pallas_align_doc_tiles(arrays, ll_pad: int, csub: int = 1):
     bounds checks.
 
     Returns (tiles int8 [n_sub_total*SUB, V], scale3d f32
-    [n_super, 8, csub*128], region_start_subtiles int32 [n_lists]).
-    Host-side, one-off per index (vectorized: one fancy-index row copy)."""
+    [n_super, 8, csub*128], region_start_subtiles int32 [n_lists],
+    row_off int32 [n_lists] or None). row_off is non-None only for
+    bin-packed views (arrays.pack_bins, packed_region_layout): each
+    list's rows then start at region_start*SUB + row_off. Host-side,
+    one-off per index (vectorized: one fancy-index row copy)."""
     assert ll_pad % (csub * SUB) == 0
     list_len = arrays.list_len.astype(np.int64)
-    n_tiles_per_list = np.maximum(1, -(-list_len // SUB))
-    if csub > 1:
-        n_tiles_per_list = csub * (-(-n_tiles_per_list // csub))
-    region_start = tile_region_starts(arrays, csub)
-    n_sub_total = int(n_tiles_per_list.sum()) + ll_pad // SUB
+    row_off = None
+    if getattr(arrays, "pack_bins", False):
+        region_start, row_off, n_sub_body = packed_region_layout(
+            list_len, csub
+        )
+        dst_base = region_start * SUB + row_off
+    else:
+        n_tiles_per_list = np.maximum(1, -(-list_len // SUB))
+        if csub > 1:
+            n_tiles_per_list = csub * (-(-n_tiles_per_list // csub))
+        region_start = tile_region_starts(arrays, csub)
+        n_sub_body = int(n_tiles_per_list.sum())
+        dst_base = region_start * SUB
+    n_sub_total = n_sub_body + ll_pad // SUB
     total_rows = n_sub_total * SUB
     V = arrays.doc_tiles.shape[1]
     tiles = np.zeros((total_rows, V), dtype=np.uint8)
@@ -137,7 +198,7 @@ def pallas_align_doc_tiles(arrays, ll_pad: int, csub: int = 1):
         src_idx = np.repeat(
             arrays.list_post_start.astype(np.int64), list_len
         ) + intra
-        dst_idx = np.repeat(region_start * SUB, list_len) + intra
+        dst_idx = np.repeat(dst_base, list_len) + intra
         tiles[dst_idx] = arrays.doc_tiles[src_idx]
         scale[dst_idx] = arrays.doc_tile_scale[src_idx]
     lanes = csub * SUB
@@ -145,7 +206,8 @@ def pallas_align_doc_tiles(arrays, ll_pad: int, csub: int = 1):
     scale3d = np.repeat(
         scale.reshape(n_super, 1, lanes), 8, axis=1
     ).astype(np.float32)
-    return tiles.view(np.int8), scale3d, region_start.astype(np.int32)
+    return (tiles.view(np.int8), scale3d, region_start.astype(np.int32),
+            None if row_off is None else row_off.astype(np.int32))
 
 
 def residue_layout(V: int, R: int):
@@ -528,7 +590,8 @@ def order_block_members(arrays, chunk: int = 1 << 21):
 
 
 def block_pool_arrays(arrays, V: int, chunk: int = 262144,
-                      order_members: bool = False, mode: str = "dense"):
+                      order_members: bool = False, mode: str = "dense",
+                      pack_bins: bool = False):
     """A blocks-as-rows VIEW of the index for the grouped scorer: BLOCK-
     SUMMARY tiles replace the per-posting doc tiles, and the list
     geometry fields are remapped so one "posting row" = one block.
@@ -573,6 +636,12 @@ def block_pool_arrays(arrays, V: int, chunk: int = 262144,
     (descending) first — see order_block_members — so a truncated
     expansion (block_expand < max_block_len) drops the least-valuable
     members.
+
+    `pack_bins` marks the view for bin-packed aligned regions
+    (packed_region_layout): ~20x less aligned-layout HBM at the 100K
+    bench (lists average ~12 block rows vs csub*128-row regions) and
+    proportionally less DMA per pair. Requires pool_mode hier/approx/
+    exact/slot (the packed/window modes fold bin-mates in-kernel).
     """
     import dataclasses as _dc
 
@@ -590,7 +659,8 @@ def block_pool_arrays(arrays, V: int, chunk: int = 262144,
             else arrays.dense_summary.shape)
         return _dc_replace_block_view(
             arrays, np.asarray(arrays.dense_summary),
-            np.asarray(arrays.dense_scale, np.float32))
+            np.asarray(arrays.dense_scale, np.float32),
+            pack_bins=pack_bins)
     sc_comps = np.asarray(arrays.summary_comps)
     sc_codes = np.asarray(arrays.summary_codes)
     s_min = np.asarray(arrays.summary_min, np.float32)
@@ -618,10 +688,11 @@ def block_pool_arrays(arrays, V: int, chunk: int = 262144,
         rs = np.maximum(mx, 1e-20) / 255.0
         tiles[s:e] = np.round(H / rs[:, None]).astype(np.uint8)
         scale[s:e] = np.where(mx > 0, rs, 0.0)
-    return _dc_replace_block_view(arrays, tiles, scale)
+    return _dc_replace_block_view(arrays, tiles, scale,
+                                  pack_bins=pack_bins)
 
 
-def _dc_replace_block_view(arrays, tiles, scale):
+def _dc_replace_block_view(arrays, tiles, scale, pack_bins: bool = False):
     import dataclasses as _dc
 
     return _dc.replace(
@@ -631,4 +702,5 @@ def _dc_replace_block_view(arrays, tiles, scale):
         list_post_start=np.asarray(arrays.list_block_start, np.int32),
         list_len=np.asarray(arrays.list_n_blocks, np.int32),
         max_list_len=int(arrays.max_blocks_per_list),
+        pack_bins=pack_bins,
     )

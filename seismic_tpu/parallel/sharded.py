@@ -297,8 +297,9 @@ class ShardedIndex:
                     _pad_rows(t, max_rows, 0),
                     _pad_rows(sc, max_sup, 0),
                     rg,
+                    ro,
                 )
-                for (t, sc, rg) in aligned
+                for (t, sc, rg, ro) in aligned
             ]
             devices = [
                 s.to_device(pallas_tiles=True, tile_csub=tile_csub,

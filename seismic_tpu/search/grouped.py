@@ -838,6 +838,27 @@ def _grouped_impl(
         return scores, scores
     NSUP_ALL = LLMAX // (csub * SUB)
 
+    # bin-packed regions (pack_bins views): rows [0, row_off) of a pair's
+    # kernel window belong to bin-mates — scored against the WRONG qloc,
+    # so they must be masked before any pooling. plan.pair_len /
+    # group_nrows are already EFFECTIVE (row_off + len) upper bounds.
+    roff_pair = roff_group = None
+    if index.list_row_off is not None:
+        assert not pack_idx, (
+            "pool_mode 'window'/'stride' folds bin-mates' rows in-kernel; "
+            "unsupported with bin-packed (pack_bins) views"
+        )
+        assert streamed is None, (
+            "stream_frac < 1 is unsupported with bin-packed views"
+        )
+        nl = index.list_row_off.shape[0]
+        roff_pair = jnp.take(
+            index.list_row_off, jnp.clip(plan.pair_list, 0, nl - 1)
+        )  # [B, QC]
+        roff_group = jnp.take(
+            index.list_row_off, jnp.clip(plan.group_list, 0, nl - 1)
+        )  # [G_cap]
+
     pool = min(params.pool if params.pool > 0 else 8 * k, QC * LLMAX)
     if pack_idx:
         # ---- packed-index window pool: one reduce_window on the slot
@@ -972,6 +993,8 @@ def _grouped_impl(
         t = min(params.pool_per_pair, LLMAX)
         rows = jnp.arange(LLMAX, dtype=jnp.int32)
         rows_ok_slot = rows[None, :] < plan.group_nrows[:, None]
+        if roff_group is not None:
+            rows_ok_slot &= rows[None, :] >= roff_group[:, None]
         if streamed is not None:
             rows_ok_slot &= jnp.repeat(streamed, csub * 128, axis=-1)
         slot_ok = plan.slot_b < B  # [G_cap, M]
@@ -1027,6 +1050,11 @@ def _grouped_impl(
         jnp.arange(LLMAX, dtype=jnp.int32)[None, None, :]
         < plan.pair_len[..., None]
     ) & plan.pair_valid[..., None]
+    if roff_pair is not None:
+        rows_ok &= (
+            jnp.arange(LLMAX, dtype=jnp.int32)[None, None, :]
+            >= roff_pair[..., None]
+        )
     if streamed is not None:
         # mask rows of super-tiles the budget skipped (their kernel output
         # rows are uninitialized)

@@ -52,20 +52,34 @@ class PlannerContext:
     @staticmethod
     def from_arrays(arrays, region_start=None, csub: int = 1):
         """Build from IndexArrays (+ the aligned-layout region starts that
-        `prepare_pallas_tiles` computes)."""
-        if region_start is None:
+        `prepare_pallas_tiles` computes).
+
+        Bin-packed views (arrays.pack_bins) get the same EFFECTIVE list
+        geometry the DeviceIndex serves — list_len := row_off + len,
+        list_post_start := start - row_off — so planners (numpy / native
+        C++ / device-derive) emit packed-correct plans unchanged."""
+        packed = getattr(arrays, "pack_bins", False)
+        row_off = None
+        if packed:
+            from ..ops.pallas_tiles import packed_region_layout
+
+            region_start, row_off, n_sub_total = packed_region_layout(
+                arrays.list_len, csub
+            )
+        elif region_start is None:
             from ..ops.pallas_tiles import tile_region_starts
 
             region_start = tile_region_starts(arrays, csub)
-        list_len = arrays.list_len.astype(np.int64)
-        n_tiles = np.maximum(1, -(-list_len // SUB))
-        if csub > 1:
-            n_tiles = csub * (-(-n_tiles // csub))
-        n_sub_total = int(
-            region_start[-1] + n_tiles[-1]
-            if len(region_start)
-            else 0
-        )
+        if not packed:
+            list_len = arrays.list_len.astype(np.int64)
+            n_tiles = np.maximum(1, -(-list_len // SUB))
+            if csub > 1:
+                n_tiles = csub * (-(-n_tiles // csub))
+            n_sub_total = int(
+                region_start[-1] + n_tiles[-1]
+                if len(region_start)
+                else 0
+            )
         # pallas_align_doc_tiles pads ll_pad rows of zeros at the tail; the
         # last super-tile of the buffer is guaranteed zero.
         from ..ops_pallas_prep import ll_pad_for
@@ -83,10 +97,15 @@ class PlannerContext:
                 np.asarray(arrays.list_post_start),
                 np.asarray(arrays.list_len),
             )
+        ll = np.asarray(arrays.list_len, np.int32)
+        ps = np.asarray(arrays.list_post_start, np.int32)
+        if row_off is not None:
+            ll = ll + row_off
+            ps = ps - row_off
         return PlannerContext(
             list_region_start=np.asarray(region_start, np.int32),
-            list_len=np.asarray(arrays.list_len, np.int32),
-            list_post_start=np.asarray(arrays.list_post_start, np.int32),
+            list_len=ll,
+            list_post_start=ps,
             n_lists=arrays.n_lists,
             n_docs=arrays.n_docs,
             zero_region=int(zero_region),

@@ -112,6 +112,11 @@ class IndexArrays:
     # nnz of the SOURCE dataset (before any max_doc_nnz truncation of the
     # padded forward tiles); 0 = unknown (pre-v2 index files)
     dataset_nnz: int = 0
+    # bin-pack tiny list regions in the aligned device layout
+    # (ops/pallas_tiles.py::packed_region_layout) — set on block views,
+    # whose ~12-row lists would otherwise pad to csub*128 rows each.
+    # In-memory only (views are rebuilt from the base index, not saved).
+    pack_bins: bool = False
     config: Optional[Configuration] = None
 
     # ------------------------------------------------------------------
@@ -430,21 +435,37 @@ class IndexArrays:
                 np.asarray(self.list_len),
             )
             extra["list_weight"] = put(lw)
+        overrides = {}
         if pallas_tiles and (self.doc_tiles is not None
                              or _aligned is not None):
+            row_off = None
             if _aligned is not None:
-                tiles_i8, scale3d, region_start = _aligned
+                tiles_i8, scale3d, region_start = _aligned[:3]
+                if len(_aligned) > 3:
+                    row_off = _aligned[3]
             else:
                 from .ops_pallas_prep import prepare_pallas_tiles
 
-                tiles_i8, scale3d, region_start = prepare_pallas_tiles(
-                    self, tile_csub
+                tiles_i8, scale3d, region_start, row_off = (
+                    prepare_pallas_tiles(self, tile_csub)
                 )
             extra.update(
                 doc_tiles_aligned=put(tiles_i8),
                 tile_scale3d=put(scale3d),
                 list_region_start=put(region_start),
             )
+            if row_off is not None:
+                # bin-packed regions: serve EFFECTIVE list geometry so
+                # every planner works unchanged — list_len := row_off +
+                # len (the kernel-window row bound), list_post_start :=
+                # start - row_off (posting = pstart + window_row). The
+                # raw row_off array drives the grouped path's lower-
+                # bound masks (bin-mates' rows are garbage there).
+                ll = np.asarray(self.list_len, np.int32)
+                ps = np.asarray(self.list_post_start, np.int32)
+                extra["list_row_off"] = put(row_off)
+                overrides["list_len"] = put(row_off + ll)
+                overrides["list_post_start"] = put(ps - row_off)
             if super_summaries:
                 from .ops.pallas_tiles import super_tile_summaries
 
@@ -454,11 +475,13 @@ class IndexArrays:
             # the packed tiles are superseded on device; keep HBM for the
             # aligned layout
             skip |= {"doc_tiles", "doc_tile_scale"}
+        fields = {
+            f: (None if f in skip else put(getattr(self, f)))
+            for f in self._ARRAY_FIELDS
+        }
+        fields.update(overrides)
         return DeviceIndex(
-            **{
-                f: (None if f in skip else put(getattr(self, f)))
-                for f in self._ARRAY_FIELDS
-            },
+            **fields,
             **extra,
             dim=self.dim,
             n_docs=self.n_docs,
@@ -520,6 +543,11 @@ class DeviceIndex:
     fwd_comps16: object = None
     # per-list max posting value (weighted-cut list selection)
     list_weight: object = None
+    # bin-packed aligned regions (pack_bins views): row offset of each
+    # list inside its region; list_len/list_post_start are then served
+    # EFFECTIVE (len+off / start-off) so planners need no changes, and
+    # the grouped regroup masks rows < row_off (bin-mates' garbage)
+    list_row_off: object = None
     # fused [n_docs, 2W] int32 forward tile (comps | f32-bit values): the
     # rescore gather is bound by gathered-row COUNT on this device, so one
     # fused gather replaces the separate comps+vals gathers (probe_r3b)

@@ -259,3 +259,69 @@ def test_sharded_block_pool():
         assert len(shared) >= 5
         for d in shared:
             assert abs(ref[d] - got[d]) < 1e-3 * max(1.0, abs(ref[d]))
+
+
+def test_pack_bins_matches_unpacked(setup):
+    """Bin-packed aligned regions (packed_region_layout) must be a pure
+    layout change: identical scores and ids to the unpacked block view
+    across pool modes and csub, through both the host-plan and the
+    device-derived paths."""
+    import jax
+    import jax.numpy as jnp
+
+    from seismic_tpu.search.grouped import (
+        plan_caps,
+        search_grouped_derive_jit,
+    )
+
+    ds, arrays, q_comps, q_vals, gt_i = setup
+    E = int(arrays.max_block_len)
+    bu = block_pool_arrays(arrays, 256, order_members=True, mode="dense")
+    bp = block_pool_arrays(arrays, 256, order_members=True, mode="dense",
+                           pack_bins=True)
+    assert bp.pack_bins and not bu.pack_bins
+    for csub in (1, 2):
+        devu = bu.to_device(pallas_tiles=True, tile_csub=csub)
+        devp = bp.to_device(pallas_tiles=True, tile_csub=csub)
+        # the packed aligned layout must be much smaller than unpacked
+        # (tiny lists share csub*128-row bins instead of padding to one)
+        assert (devp.doc_tiles_aligned.shape[0]
+                < devu.doc_tiles_aligned.shape[0] / 2)
+        assert devp.list_row_off is not None
+        ctxu = PlannerContext.from_arrays(bu, csub=csub)
+        ctxp = PlannerContext.from_arrays(bp, csub=csub)
+        for mode, ppp in (("exact", 0), ("hier", 8), ("slot", 8)):
+            gp = GroupedParams(k=10, score_cut=64, pool=48, block_expand=E,
+                               compute_dtype="i8", pool_mode=mode,
+                               pool_per_pair=ppp)
+            s_u, i_u = search_grouped(devu, ctxu, q_comps, q_vals, gp,
+                                      query_cut=10)
+            s_p, i_p = search_grouped(devp, ctxp, q_comps, q_vals, gp,
+                                      query_cut=10)
+            np.testing.assert_array_equal(i_p, i_u)
+            np.testing.assert_allclose(s_p, s_u, rtol=1e-5, atol=1e-5)
+
+    # device-derived plan over the packed view
+    gp = GroupedParams(k=10, score_cut=64, pool=48, block_expand=E,
+                       compute_dtype="i8", pool_mode="hier",
+                       pool_per_pair=8)
+    devp = bp.to_device(pallas_tiles=True, tile_csub=1)
+    ctxp = PlannerContext.from_arrays(bp, csub=1)
+    gc, wc = plan_caps(q_comps, q_vals, ctxp, 10, M=8)
+    s_d, i_d = search_grouped_derive_jit(
+        devp, jnp.asarray(q_comps, jnp.int32),
+        jnp.asarray(q_vals, jnp.float32), gp, 10, 8, gc, wc,
+        ctxp.zero_region)
+    devu = bu.to_device(pallas_tiles=True, tile_csub=1)
+    ctxu = PlannerContext.from_arrays(bu, csub=1)
+    s_h, i_h = search_grouped(devu, ctxu, q_comps, q_vals, gp,
+                              query_cut=10)
+    np.testing.assert_array_equal(np.asarray(i_d), i_h)
+
+    # packed + window/stride pool is rejected loudly (bin-mates fold)
+    import pytest as _pytest
+
+    gp_bad = dataclasses.replace(gp, pool_mode="stride", pool_stride=4,
+                                 kernel_unroll=1)
+    with _pytest.raises(Exception):
+        search_grouped(devp, ctxp, q_comps, q_vals, gp_bad, query_cut=10)

@@ -25,7 +25,9 @@ def test_pallas_tile_scorer_matches_xla(rng):
                                          summary_vocab_cap=128))
     arrays = build_index(ds, cfg)
     ll_pad = ((max(arrays.max_list_len, 1) + SUB - 1) // SUB) * SUB
-    tiles_i8, scale3d, region_start = pallas_align_doc_tiles(arrays, ll_pad)
+    tiles_i8, scale3d, region_start, _ = pallas_align_doc_tiles(
+        arrays, ll_pad
+    )
 
     BQ = 16
     r = np.random.default_rng(3)
