@@ -97,32 +97,48 @@ def main():
 
     base = os.path.join(CACHE, f"index88_{N_DOCS}_{DIM}_{N_POSTINGS}")
     t0 = time.time()
-    arrays = IndexArrays.load_dir(base + ".dir")
-    log(f"8.8M index mmap-loaded: {time.time()-t0:.0f}s")
-    t0 = time.time()
-    tile_hash = 0
-    if arrays.dense_summary is not None:
-        # DENSE block tiles (probe_r3p: exact-summary pool quality; the
-        # hashed rows lose 3-7 points of block-pool recall)
-        if V < arrays.dense_summary.shape[1]:
-            from ..ops.pallas_tiles import narrow_vocab
-
-            arrays = narrow_vocab(arrays, V)
-        bv = block_pool_arrays(arrays, V, order_members=True, mode="dense",
-                               pack_bins=True)
+    # the 8.8M block view takes ~30 CPU-min to derive (narrow_vocab +
+    # chunked summary decode over ~10M block rows); cache it mmap-able
+    bvdir = base + f".blockview_v{V}.dir"
+    hpath = bvdir + ".tile_hash"
+    if os.path.isdir(bvdir) and os.path.exists(hpath):
+        bv = IndexArrays.load_dir(bvdir)
+        bv.pack_bins = True  # in-memory flag, not serialized
+        tile_hash = int(open(hpath).read())
+        log(f"block view mmap-loaded from cache: {time.time()-t0:.0f}s "
+            f"rows={bv.doc_tiles.shape[0]:,}")
     else:
-        bv = block_pool_arrays(arrays, V, order_members=True, mode="hash",
-                               pack_bins=True)
-        tile_hash = V
-    log(f"block view V={V} (hash={bool(tile_hash)}): {time.time()-t0:.0f}s "
-        f"rows={bv.doc_tiles.shape[0]:,}")
-    for f in ("tile_ovf_comps", "tile_ovf_vals", "summary_comps",
-              "summary_codes", "dense_summary", "dense_scale",
-              "block_sketch", "block_sketch_scale", "doc_sketch",
-              "doc_sketch_scale"):
-        setattr(bv, f, None)
-    E = int(arrays.max_block_len)
-    del arrays
+        arrays = IndexArrays.load_dir(base + ".dir")
+        log(f"8.8M index mmap-loaded: {time.time()-t0:.0f}s")
+        t0 = time.time()
+        tile_hash = 0
+        if arrays.dense_summary is not None:
+            # DENSE block tiles (probe_r3p: exact-summary pool quality;
+            # the hashed rows lose 3-7 points of block-pool recall)
+            if V < arrays.dense_summary.shape[1]:
+                from ..ops.pallas_tiles import narrow_vocab
+
+                arrays = narrow_vocab(arrays, V)
+            bv = block_pool_arrays(arrays, V, order_members=True,
+                                   mode="dense", pack_bins=True)
+        else:
+            bv = block_pool_arrays(arrays, V, order_members=True,
+                                   mode="hash", pack_bins=True)
+            tile_hash = V
+        log(f"block view V={V} (hash={bool(tile_hash)}): "
+            f"{time.time()-t0:.0f}s rows={bv.doc_tiles.shape[0]:,}")
+        for f in ("tile_ovf_comps", "tile_ovf_vals", "summary_comps",
+                  "summary_codes", "dense_summary", "dense_scale",
+                  "block_sketch", "block_sketch_scale", "doc_sketch",
+                  "doc_sketch_scale"):
+            setattr(bv, f, None)
+        del arrays
+        t0 = time.time()
+        bv.save_dir(bvdir)
+        with open(hpath, "w") as f:
+            f.write(str(tile_hash))
+        log(f"block view cached: {time.time()-t0:.0f}s")
+    E = int(bv.max_block_len)
 
     t0 = time.time()
     # csub=1 + bin-packed regions: the unpacked csub=2 layout OOMed at
