@@ -101,10 +101,20 @@ def main():
     # chunked summary decode over ~10M block rows); cache it mmap-able
     bvdir = base + f".blockview_v{V}.dir"
     hpath = bvdir + ".tile_hash"
+    # fingerprint the SOURCE index so a rebuilt base invalidates the
+    # derived view (advisor r4: path+V alone silently reuses stale views)
+    src_fp = str(int(os.path.getmtime(base + ".dir")))
+    cache_ok = False
     if os.path.isdir(bvdir) and os.path.exists(hpath):
+        lines = open(hpath).read().split()
+        cache_ok = len(lines) >= 2 and lines[1] == src_fp
+        if not cache_ok:
+            log(f"block view cache STALE (fp {lines[1:]} != {src_fp}); "
+                "rebuilding")
+    if cache_ok:
         bv = IndexArrays.load_dir(bvdir)
         bv.pack_bins = True  # in-memory flag, not serialized
-        tile_hash = int(open(hpath).read())
+        tile_hash = int(lines[0])
         log(f"block view mmap-loaded from cache: {time.time()-t0:.0f}s "
             f"rows={bv.doc_tiles.shape[0]:,}")
     else:
@@ -136,7 +146,7 @@ def main():
         t0 = time.time()
         bv.save_dir(bvdir)
         with open(hpath, "w") as f:
-            f.write(str(tile_hash))
+            f.write(f"{tile_hash} {src_fp}")
         log(f"block view cached: {time.time()-t0:.0f}s")
     E = int(bv.max_block_len)
 
