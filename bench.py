@@ -121,9 +121,14 @@ elif NARROWED:
     ]
 else:
     LADDER = [
-        (10, 64, 48, 16), (10, 96, 64, 16), (11, 96, 64, 16),
+        # plain rungs first: knn rungs cost ~1.5-1.6x their plain base
+        # (probe_r4d measurement, same as the NARROWED branch), so a
+        # compliant plain rung must win over a cheaper-qc knn rung
+        # (advisor r4: the old knn-first order could headline a costlier
+        # operating point)
         (10, 64, 48, 0), (11, 64, 48, 0), (12, 64, 48, 0),
         (12, 96, 64, 0), (14, 96, 64, 0),
+        (10, 64, 48, 16), (10, 96, 64, 16), (11, 96, 64, 16),
         (14, 128, 96, 0), (16, 128, 96, 0),
         (20, 128, 96, 0), (30, 256, 128, 0),
     ]
@@ -528,8 +533,10 @@ def main():
             f"recall={chosen[4]:.4f}")
     query_cut, pool_sel, resc_sel, nknn_sel, rec, streamed_kb = chosen
     gp = make_gp(pool_sel, resc_sel, nknn_sel)
-    if nknn_sel > 0:
-        # the graph is part of the served index: count its bytes
+    if nknn_sel > 0 and int(space.get("knn", 0)) == 0:
+        # the graph is part of the served index: count its bytes (guard:
+        # space_usage_report already folds knn into total when arrays.knn
+        # was populated before the report ran — don't double-count)
         space["knn"] = int(knn_np.nbytes)
         space["total"] = int(space.get("total", 0)) + int(knn_np.nbytes)
 

@@ -30,7 +30,7 @@ import time
 
 import numpy as np
 
-faulthandler.dump_traceback_later(7200, exit=True)
+faulthandler.dump_traceback_later(11000, exit=True)
 ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..")
 sys.path.insert(0, ROOT)
 CACHE = os.path.join(ROOT, ".bench_cache")
@@ -185,9 +185,14 @@ def main():
         dt = (time.time() - t0) / reps
         return dt, recall(np.asarray(out[1]))
 
+    # rescore_chunk bounds the block_expand forward-gather temps: the
+    # round-4 run OOMed every pool >= 64 (20-25 GB of XLA temps vs
+    # 15.75 GB HBM) and the only surviving rung (pool=32) sat at
+    # recall 0.40 — far too shallow for 8.8M docs
     basep = GroupedParams(k=10, score_cut=64, pool=32, block_expand=E,
                           compute_dtype="i8", pool_mode="hier",
-                          pool_per_pair=8, kernel_unroll=8)
+                          pool_per_pair=8, kernel_unroll=8,
+                          rescore_chunk=1024)
     results = []
 
     def flush():
@@ -208,8 +213,10 @@ def main():
         with open(os.path.join(ROOT, "SCALE88_BENCH.json"), "w") as f:
             json.dump(out, f, indent=1)
 
-    for qcut in (10, 12, 14, 16):
-        for pool, ppp in ((32, 8), (64, 16), (96, 24)):
+    # depth-first ladder: recall is pool-bound at this scale (qc only
+    # moved it 0.40->0.404 in round 4), so climb pool depth at qc=10/14
+    for qcut in (10, 14):
+        for pool, ppp in ((64, 16), (128, 32), (256, 64), (512, 128)):
             gp = dataclasses.replace(basep, pool=pool, pool_per_pair=ppp)
             try:
                 dt, rec = run(gp, qcut)

@@ -1,0 +1,76 @@
+#!/bin/bash
+# Round-5 TPU measurement queue (VERDICT r4 asks): drain the 8.8M +
+# lean-mem stages first (ask #3), then the 1M two-pass adaptive rungs
+# (ask #2), the refreshed sharded artifact (ask #7), and the headline
+# bench (ask #4).
+#
+# ONE TPU process at a time (axon quirk: concurrent TPU clients contend
+# on the tunnel). Each stage is timeout-bounded; a dead tunnel makes the
+# tunnel check fail fast and the queue re-polls instead of wedging.
+#
+# Usage: bash seismic_tpu/harness/run_r5_tpu_queue.sh [stage ...]
+#   stages default to: j mem r5a bench
+#   c1m   = rebuild_r3_cache 1m (dataset/index/GT/narrow dirs/knn16)
+#   b88   = build_88m           (8.8M dataset+index build, CPU-heavy)
+#   j     = probe_r3j 512       (8.8M rung -> SCALE88_BENCH, incl. GT)
+#   mem   = bench_mem --block   (fast-and-lean artifact -> MEM_BENCH)
+#   r5a   = probe_r5a 1024      (1M two-pass adaptive -> SCALE_BENCH)
+#   shard = bench_sharded --grouped (production-path sharded artifact)
+#   bench = bench.py            (headline protocol, at-bar selection)
+set -u
+cd "$(dirname "$0")/../.."
+LOGDIR=/tmp/r5queue
+mkdir -p "$LOGDIR"
+
+# serialize queue instances machine-wide (one TPU client at a time);
+# a second invocation blocks here until the first finishes. The lock is
+# SHARED with the round-4 queue script so both can't run concurrently.
+exec 9>/tmp/r4queue/tpu.lock
+flock 9
+
+log() { echo "[queue $(date +%H:%M:%S)] $*" | tee -a "$LOGDIR/queue.log"; }
+
+wait_for_tunnel() {
+  # jax.devices() hangs machine-wide when the axon tunnel is down; bound
+  # the probe and poll until it answers. Require a round-tripped
+  # computation — devices() can list the chip while compute hangs.
+  while true; do
+    if timeout 420 python -c "
+import jax, jax.numpy as jnp, numpy as np
+assert jax.devices()[0].platform != 'cpu'
+x = np.asarray(jnp.arange(8.0).sum())
+assert float(x) == 28.0, x
+print('tunnel compute ok')" >>"$LOGDIR/tunnel.log" 2>&1; then
+      log "tunnel up"
+      return 0
+    fi
+    log "tunnel down; sleeping 600s"
+    sleep 600
+  done
+}
+
+run_stage() {
+  name=$1; bound=$2; shift 2
+  log "stage $name: START ($*)"
+  if timeout "$bound" "$@" >"$LOGDIR/$name.log" 2>&1; then
+    log "stage $name: OK"
+  else
+    log "stage $name: FAILED rc=$? (see $LOGDIR/$name.log)"
+  fi
+}
+
+STAGES=${*:-j mem r5a bench}
+for s in $STAGES; do
+  case $s in b88) ;; *) wait_for_tunnel ;; esac
+  case $s in
+    c1m)   run_stage c1m 20000  python -m seismic_tpu.harness.rebuild_r3_cache 1m ;;
+    b88)   run_stage b88 28000  env JAX_PLATFORMS=cpu python -m seismic_tpu.harness.build_88m ;;
+    j)     run_stage r3j 12000  python -m seismic_tpu.harness.probe_r3j 512 ;;
+    mem)   run_stage mem 7200   python -m seismic_tpu.harness.bench_mem --block --batch 4096 ;;
+    r5a)   run_stage r5a 9000   python -m seismic_tpu.harness.probe_r5a 1024 ;;
+    shard) run_stage shard 7200 python -m seismic_tpu.harness.bench_sharded --grouped ;;
+    bench) run_stage bench 5400 python bench.py ;;
+    *)     log "unknown stage $s" ;;
+  esac
+done
+log "queue complete"

@@ -59,8 +59,15 @@ class GroupedParams:
     n_knn: int = 0
     # refinement rounds: 2 = also rescore the neighbors of the REFINED
     # top-k (a depth-2 graph walk; the reference's Knn::refine is one
-    # round). Each extra round costs one more k*n_knn-row rescore.
+    # round). Each extra round costs one more knn_top*n_knn-row rescore.
     knn_rounds: int = 1
+    # > 0: refine the neighbors of only the top `knn_top` results
+    # instead of all k (the rescore-row count — the refine round's cost —
+    # drops k/knn_top-fold; the reference refines every heap entry,
+    # inverted_index.rs:551-593, but neighbor lists of adjacent ranks
+    # overlap heavily, so the marginal recall of deep-rank neighbors is
+    # small). 0 = all k. Round-5 economics lever (VERDICT r4 #5).
+    knn_top: int = 0
     # kernel matmul width: "bf16" = MXU-native (u8 codes exact; qloc
     # rounded to 8 mantissa bits), "f32" = exact-operand reference
     compute_dtype: str = "bf16"
@@ -152,10 +159,23 @@ class GroupedParams:
     # ignored (the expansion IS the exact rescore). This is the
     # memory-lean fast path: no per-posting tile replication on device.
     block_expand: int = 0
+    # > 0: exact-rescore the block_expand candidate set in sequential
+    # column chunks of this size (lax.map): bounds the forward-row gather
+    # temps to [B*chunk, W] instead of [B*pool*E, W]. The 8.8M deep-pool
+    # rungs need this — pool >= 64 at B=2048 OOMed XLA's temp plan at
+    # 20-25 GB vs 15.75 GB HBM (round-4 r3j log). 0 = single call.
+    rescore_chunk: int = 0
     # profiling: truncate the program after a stage ("qloc", "expand",
     # "kernel", "regroup", "pool", "prerank") and return that stage's
     # output — used by the harness to attribute fused-program time
     stop_after: str = ""
+    # return a third output: the per-query pool-truncation MARGIN
+    # (kth exact score - bias-corrected pass pool bottom) consumed by the
+    # two-pass adaptive driver (search/twopass.py). Requires rescore > 0.
+    # margin < eps means docs ranked below the pool bottom could have
+    # beaten the kth result — the query is a deep-pass candidate; margin
+    # = +inf when the pool was not even filled (nothing was truncated).
+    return_margin: bool = False
 
 
 # plan fields packed into ONE int32 host array -> ONE host->device
@@ -344,13 +364,19 @@ def _knn_refine_grouped(index, params, top_c, top_v, sc, top_scores,
     B, k = top_ids.shape
     n_docs = index.n_docs
     n_knn = min(params.n_knn, index.knn.shape[1])
+    # economics lever (VERDICT r4 #5): neighbor lists of adjacent ranks
+    # overlap heavily, so refining only the top-m heap entries keeps most
+    # of the recall gain at m/k of the rescore cost. top_scores is sorted
+    # descending, so the top-m slice is a static prefix.
+    m = k if params.knn_top <= 0 else min(params.knn_top, k)
     for _ in range(max(1, params.knn_rounds)):
-        safe_top = jnp.clip(top_ids, 0, n_docs - 1)
-        neigh = index.knn[safe_top][..., :n_knn].reshape(B, k * n_knn)
+        src_ids = top_ids[:, :m]
+        safe_top = jnp.clip(src_ids, 0, n_docs - 1)
+        neigh = index.knn[safe_top][..., :n_knn].reshape(B, m * n_knn)
         neigh_valid = (
-            jnp.isfinite(top_scores)[:, :, None]
+            jnp.isfinite(top_scores[:, :m])[:, :, None]
             .repeat(n_knn, axis=2)
-            .reshape(B, k * n_knn)
+            .reshape(B, m * n_knn)
         ) & (neigh >= 0)
         nscores = rescore_exact(
             index, jnp.where(neigh_valid, neigh, 0), top_c, top_v, sc,
@@ -1117,6 +1143,9 @@ def _grouped_tail(
         # block-summary view: pooled "posting rows" are BLOCK ids
         # (safe_post = list_block_start[pair] + offset); expand each into
         # its member postings and exact-rescore all of them
+        assert not params.return_margin, (
+            "return_margin is only implemented on the rescore path"
+        )
         return _block_expand_tail(
             index, params, top_c, top_v, sc, top_scores, safe_post,
             interpret,
@@ -1133,6 +1162,7 @@ def _grouped_tail(
             ids2 = cand_ids[:, :rp]
             if params.stop_after == "prerank":
                 return t2, ids2
+            approx2 = t2
             exact = rescore_exact(index, ids2, top_c, top_v, sc,
                                   interpret=interpret)
             t2 = jnp.where(jnp.isfinite(t2), exact, -jnp.inf)
@@ -1145,6 +1175,7 @@ def _grouped_tail(
             ids2 = jnp.take_along_axis(dids, pos2, axis=1)
             if params.stop_after == "prerank":
                 return t2, ids2
+            approx2 = t2
             exact = rescore_exact(index, ids2, top_c, top_v, sc,
                                   interpret=interpret)
             t2 = jnp.where(jnp.isfinite(t2), exact, -jnp.inf)
@@ -1157,8 +1188,35 @@ def _grouped_tail(
                 interpret,
             )
         out_ids = jnp.where(jnp.isfinite(out_scores), out_ids, -1)
+        if params.return_margin:
+            # pool-truncation margin (search/twopass.py): a pool-missed
+            # doc's APPROX score is below the pool bottom; its EXACT
+            # score is at most pool_bottom + (the approx->exact bias,
+            # estimated per query as the mean exact-minus-approx gap
+            # over the rescored set — approx scores sit BELOW exact by
+            # the vocab-truncation mass). margin = kth_exact -
+            # (pool_bottom + bias): the worst pool-missed doc can only
+            # enter the top-k when margin is small or negative.
+            finite2 = jnp.isfinite(approx2) & jnp.isfinite(exact)
+            cnt = jnp.maximum(jnp.sum(finite2, axis=1), 1)
+            bias = (
+                jnp.sum(jnp.where(finite2, exact - approx2, 0.0), axis=1)
+                / cnt
+            )
+            pool_bottom = top_scores[:, -1]
+            kth = out_scores[:, k - 1]
+            margin = jnp.where(
+                jnp.isfinite(pool_bottom),
+                kth - (pool_bottom + bias),
+                jnp.inf,
+            )
+            return out_scores, out_ids, margin
         return out_scores, out_ids
 
+    assert not params.return_margin, (
+        "return_margin requires rescore > 0 (the margin's bias estimate "
+        "needs the exact-vs-approx rescore gap)"
+    )
     use_ovf = params.use_ovf and index.tile_ovf_comps is not None
     if use_ovf and 0 < params.ovf_pool < pool:
         # dedup first, then correct only the top unique candidates
@@ -1222,8 +1280,25 @@ def _block_expand_tail(
     pidx = jnp.clip(bs[:, :, None] + j, 0, index.postings.shape[0] - 1)
     ids = jnp.take(index.postings, pidx)  # [B, P, E]
     ids = jnp.where(valid, ids, n_docs).reshape(B, P * E)
-    exact = rescore_exact(index, ids, top_c, top_v, sc,
-                          interpret=interpret)
+    R = P * E
+    C = params.rescore_chunk
+    if 0 < C < R:
+        # sequential column chunks (lax.map = scan): one [B*C, W] forward
+        # gather live at a time, so deep block pools fit HBM
+        nch = -(-R // C)
+        ids_p = (ids if nch * C == R else
+                 jnp.pad(ids, ((0, 0), (0, nch * C - R)),
+                         constant_values=n_docs))
+        chunks = jnp.moveaxis(ids_p.reshape(B, nch, C), 1, 0)
+        exact = jax.lax.map(
+            lambda c: rescore_exact(index, c, top_c, top_v, sc,
+                                    interpret=interpret),
+            chunks,
+        )
+        exact = jnp.moveaxis(exact, 0, 1).reshape(B, nch * C)[:, :R]
+    else:
+        exact = rescore_exact(index, ids, top_c, top_v, sc,
+                              interpret=interpret)
     exact = jnp.where(ids < n_docs, exact, -jnp.inf)
     # duplicates carry EQUAL exact scores, so the top-`dd` raw entries
     # contain the true top-k unless > dd - k duplicates outrank it; dd

@@ -469,6 +469,15 @@ class IndexArrays:
             if super_summaries:
                 from .ops.pallas_tiles import super_tile_summaries
 
+                # bin-packed views interleave bin-mates' rows inside one
+                # region, so a super-tile max would mix different lists'
+                # postings — garbage upper bounds (advisor r4; only the
+                # search-time stream_frac assert would catch it later)
+                assert row_off is None, (
+                    "super_summaries=True is unsupported on bin-packed "
+                    "(pack_bins) views: super-tile bounds would mix "
+                    "bin-mates' rows"
+                )
                 sc, ss = super_tile_summaries(tiles_i8, scale3d, tile_csub)
                 extra["super_summary"] = put(sc)
                 extra["super_scale"] = put(ss)

@@ -142,6 +142,26 @@ def test_block_expand_recall(setup):
     np.testing.assert_array_equal(i_u, i_1)
 
 
+def test_block_expand_rescore_chunk_equal(setup):
+    """Chunked block_expand rescore (rescore_chunk > 0, the 8.8M HBM
+    bound: lax.map column chunks) must return exactly the single-call
+    result, including the non-dividing-chunk padding path."""
+    ds, arrays, q_comps, q_vals, _ = setup
+    bv = block_pool_arrays(arrays, 256, mode="dense")
+    devb = bv.to_device(pallas_tiles=True)
+    ctxb = PlannerContext.from_arrays(bv)
+    E = int(arrays.max_block_len)
+    bp = GroupedParams(k=10, score_cut=64, pool=48, block_expand=E,
+                       compute_dtype="i8", pool_mode="exact")
+    s0, i0 = search_grouped(devb, ctxb, q_comps, q_vals, bp, query_cut=10)
+    for chunk in (128, 100):  # divides 48*16=768; and a padding case
+        bpc = dataclasses.replace(bp, rescore_chunk=chunk)
+        s1, i1 = search_grouped(devb, ctxb, q_comps, q_vals, bpc,
+                                query_cut=10)
+        np.testing.assert_array_equal(i0, i1)
+        np.testing.assert_allclose(s0, s1, rtol=1e-6)
+
+
 @pytest.mark.slow
 def test_block_expand_scores_exact(setup):
     """Returned scores are EXACT sparse dots (rescore from the forward

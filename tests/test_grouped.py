@@ -207,6 +207,14 @@ def test_grouped_rescore_knn_refine(setup):
     assert r1 >= r0 - 1e-9
     # a second refinement round (depth-2 graph walk) never loses recall
     assert r2 >= r1 - 1e-9
+    # knn_top: refining only the top-m entries' neighbors still never
+    # loses recall vs no refinement, and knn_top=k equals the full round
+    reft = dataclasses.replace(ref, knn_top=4)
+    _, it = search_grouped(dev, ctx, q_comps, q_vals, reft, query_cut=6)
+    assert _recall(it, gt_i) >= r0 - 1e-9
+    refk = dataclasses.replace(ref, knn_top=10)
+    _, ik = search_grouped(dev, ctx, q_comps, q_vals, refk, query_cut=6)
+    np.testing.assert_array_equal(np.asarray(ik), np.asarray(i1))
     arrays.knn = None
 
 
