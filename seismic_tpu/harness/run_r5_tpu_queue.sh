@@ -15,6 +15,7 @@
 #   j     = probe_r3j 512       (8.8M rung -> SCALE88_BENCH, incl. GT)
 #   mem   = bench_mem --block   (fast-and-lean artifact -> MEM_BENCH)
 #   r5a   = probe_r5a 1024      (1M two-pass adaptive -> SCALE_BENCH)
+#   r5b   = probe_r5b           (100K headline levers -> BENCH_STAGE_r5)
 #   shard = bench_sharded --grouped (production-path sharded artifact)
 #   bench = bench.py            (headline protocol, at-bar selection)
 set -u
@@ -68,6 +69,7 @@ for s in $STAGES; do
     j)     run_stage r3j 12000  python -m seismic_tpu.harness.probe_r3j 512 ;;
     mem)   run_stage mem 7200   python -m seismic_tpu.harness.bench_mem --block --batch 4096 ;;
     r5a)   run_stage r5a 9000   python -m seismic_tpu.harness.probe_r5a 1024 ;;
+    r5b)   run_stage r5b 9000   python -m seismic_tpu.harness.probe_r5b ;;
     shard) run_stage shard 7200 python -m seismic_tpu.harness.bench_sharded --grouped ;;
     bench) run_stage bench 5400 python bench.py ;;
     *)     log "unknown stage $s" ;;
