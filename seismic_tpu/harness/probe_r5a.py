@@ -168,15 +168,24 @@ def main():
                             pool_per_pair=64, kernel_unroll=8)
     p2_knn = dataclasses.replace(p2_deep, n_knn=8, pool_mode="approx",
                                  pool_per_pair=0)
+    # bf16 pass 2: device 1M rungs run ~1pt below the fp pool simulator
+    # (i8 qloc quantization perturbs pool ORDER); the flagged batch is
+    # only ~B2/B of the work, so the 2x kernel-rate cost is amortized
+    p2_bf16 = dataclasses.replace(p2_deep, compute_dtype="bf16",
+                                  kernel_unroll=1)
 
     for qc1, pool1, r1_ in ((14, 128, 96), (16, 128, 96), (14, 96, 64)):
         p1 = dataclasses.replace(base_p1, pool=pool1, rescore=r1_,
                                  return_margin=False)
         for eps_rel in (0.05, 0.1, 0.2):
             for p2_name, p2, qc2 in (("deep", p2_deep, 20),
-                                     ("deep_knn8", p2_knn, 20)):
+                                     ("deep_knn8", p2_knn, 20),
+                                     ("deep_bf16", p2_bf16, 20)):
                 if p2.n_knn > 0 and knn_host is None:
                     continue
+                if p2_name == "deep_bf16" and (
+                        (qc1, pool1, eps_rel) != (14, 128, 0.1)):
+                    continue  # one bf16 data point is enough
                 tp = TwoPassParams(
                     pass1=p1, pass2=p2, query_cut1=qc1, query_cut2=qc2,
                     eps=0.0, eps_rel=eps_rel, b2_frac=0.125, b2_min=256)
