@@ -1189,28 +1189,33 @@ def _grouped_tail(
             )
         out_ids = jnp.where(jnp.isfinite(out_scores), out_ids, -1)
         if params.return_margin:
-            # pool-truncation margin (search/twopass.py): a pool-missed
+            # per-query pool-truncation DIAGNOSTICS (search/twopass.py
+            # computes the flag margin on host — the signal choice is a
+            # calibration question, probe_r5a round 5): a pool-missed
             # doc's APPROX score is below the pool bottom; its EXACT
-            # score is at most pool_bottom + (the approx->exact bias,
-            # estimated per query as the mean exact-minus-approx gap
-            # over the rescored set — approx scores sit BELOW exact by
-            # the vocab-truncation mass). margin = kth_exact -
-            # (pool_bottom + bias): the worst pool-missed doc can only
-            # enter the top-k when margin is small or negative.
+            # score is at most pool_bottom + (this query's approx->exact
+            # truncation gap). Columns:
+            #   0 kth exact score
+            #   1 pool bottom (scaled approx; -inf when pool unfilled)
+            #   2 mean  exact-approx gap over the rescored set
+            #   3 max   exact-approx gap over the rescored set
+            #   4 pool bottom-quartile score range (near-cut density:
+            #     a tiny range means the tail beyond the pool is dense)
             finite2 = jnp.isfinite(approx2) & jnp.isfinite(exact)
             cnt = jnp.maximum(jnp.sum(finite2, axis=1), 1)
-            bias = (
-                jnp.sum(jnp.where(finite2, exact - approx2, 0.0), axis=1)
-                / cnt
+            gap = jnp.where(finite2, exact - approx2, 0.0)
+            bias_mean = jnp.sum(gap, axis=1) / cnt
+            bias_max = jnp.max(
+                jnp.where(finite2, gap, -jnp.inf), axis=1
             )
             pool_bottom = top_scores[:, -1]
+            P4 = (3 * top_scores.shape[1]) // 4
+            q4range = top_scores[:, P4] - pool_bottom
             kth = out_scores[:, k - 1]
-            margin = jnp.where(
-                jnp.isfinite(pool_bottom),
-                kth - (pool_bottom + bias),
-                jnp.inf,
+            diag = jnp.stack(
+                [kth, pool_bottom, bias_mean, bias_max, q4range], axis=1
             )
-            return out_scores, out_ids, margin
+            return out_scores, out_ids, diag
         return out_scores, out_ids
 
     assert not params.return_margin, (

@@ -50,6 +50,12 @@ class TwoPassParams:
     # query's own score range (SPLADE dot magnitudes vary per query)
     eps: float = 0.0
     eps_rel: float = 0.05
+    # margin signal (host-computed from the device diag; probe_r5a
+    # calibration): "bias_mean" = kth - (pool_bottom + mean gap) — the
+    # optimistic estimate; "bias_max" = kth - (pool_bottom + max gap) —
+    # the conservative bound (a missed doc is precisely one whose
+    # truncation gap is above average, so the mean under-flags)
+    flag_mode: str = "bias_mean"
     # pass-2 batch capacity as a fraction of the pass-1 batch (static
     # shape: compiled once per (B, b2_frac); overflow keeps the
     # worst-margin queries, so the cap degrades recall gracefully)
@@ -63,6 +69,21 @@ class TwoPassParams:
                              "(rescore > 0) to produce a margin")
         if self.pass1.k != self.pass2.k:
             raise ValueError("pass1.k != pass2.k")
+
+
+def margin_from_diag(diag: np.ndarray, flag_mode: str) -> np.ndarray:
+    """Per-query flag margin from the device diagnostics (GroupedParams.
+    return_margin; columns: kth, pool_bottom, gap_mean, gap_max,
+    pool-bottom-quartile range). An unfilled pool (bottom = -inf) means
+    nothing was truncated: margin = +inf."""
+    kth, bottom = diag[:, 0], diag[:, 1]
+    if flag_mode == "bias_mean":
+        m = kth - (bottom + diag[:, 2])
+    elif flag_mode == "bias_max":
+        m = kth - (bottom + diag[:, 3])
+    else:
+        raise ValueError(f"unknown flag_mode {flag_mode!r}")
+    return np.where(np.isfinite(bottom), m, np.inf)
 
 
 def search_batch_twopass(
@@ -84,12 +105,12 @@ def search_batch_twopass(
     qd = jnp.asarray(q_comps, jnp.int32)
     vd = jnp.asarray(q_vals, jnp.float32)
     gc, wc = plan_caps(q_comps, q_vals, ctx, tp.query_cut1, M=tp.M)
-    s1, i1, margin = search_grouped_derive_jit(
+    s1, i1, diag = search_grouped_derive_jit(
         index, qd, vd, p1, tp.query_cut1, tp.M, gc, wc, ctx.zero_region
     )
     s1 = np.asarray(s1)
     i1 = np.asarray(i1)
-    margin = np.asarray(margin)
+    margin = margin_from_diag(np.asarray(diag), tp.flag_mode)
 
     kth = s1[:, tp.pass1.k - 1]
     flagged = np.nonzero(

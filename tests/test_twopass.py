@@ -95,7 +95,7 @@ def test_none_flagged_equals_pass1(setup):
 
     gc, wc = plan_caps(q_comps, q_vals, ctx, 6, M=8)
     p1m = dataclasses.replace(p1, return_margin=True)
-    s1, i1, margin = search_grouped_derive_jit(
+    s1, i1, diag = search_grouped_derive_jit(
         index, jnp.asarray(q_comps, jnp.int32),
         jnp.asarray(q_vals, jnp.float32), p1m, 6, 8, gc, wc,
         ctx.zero_region)
@@ -158,9 +158,11 @@ def test_twopass_recall_at_least_pass1(setup):
 def test_margin_semantics(setup):
     """Margins are finite for pool-filled queries, +inf when the pool
     covers every candidate (pool >= all postings of the selected lists:
-    nothing can be truncated)."""
+    nothing can be truncated); the bias_max margin is never above the
+    bias_mean one (max gap >= mean gap)."""
     from seismic_tpu.search.grouped import plan_caps, \
         search_grouped_derive_jit
+    from seismic_tpu.search.twopass import margin_from_diag
     import jax.numpy as jnp
 
     arrays, ctx, index, q_comps, q_vals, gt_i = setup
@@ -168,16 +170,22 @@ def test_margin_semantics(setup):
     p_wide = GroupedParams(k=10, score_cut=64, pool=512, rescore=64,
                            pool_mode="exact", return_margin=True)
     gc, wc = plan_caps(q_comps, q_vals, ctx, 2, M=8)
-    _, _, margin = search_grouped_derive_jit(
+    _, _, diag = search_grouped_derive_jit(
         index, jnp.asarray(q_comps, jnp.int32),
         jnp.asarray(q_vals, jnp.float32), p_wide, 2, 8, gc, wc,
         ctx.zero_region)
-    assert np.isposinf(np.asarray(margin)).all()
+    margin = margin_from_diag(np.asarray(diag), "bias_mean")
+    assert np.isposinf(margin).all()
 
     p_tight = dataclasses.replace(p_wide, pool=16, rescore=16)
-    _, _, margin_t = search_grouped_derive_jit(
+    _, _, diag_t = search_grouped_derive_jit(
         index, jnp.asarray(q_comps, jnp.int32),
         jnp.asarray(q_vals, jnp.float32), p_tight, 2, 8, gc, wc,
         ctx.zero_region)
+    diag_t = np.asarray(diag_t)
+    m_mean = margin_from_diag(diag_t, "bias_mean")
+    m_max = margin_from_diag(diag_t, "bias_max")
     # at pool=16 with 2 selected lists some queries fill the pool
-    assert np.isfinite(np.asarray(margin_t)).any()
+    assert np.isfinite(m_mean).any()
+    fin = np.isfinite(m_mean)
+    assert (m_max[fin] <= m_mean[fin] + 1e-5).all()
