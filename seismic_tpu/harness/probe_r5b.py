@@ -20,9 +20,15 @@ Grid at the headline shapes (topv narrowed V=512, B=16384, M=16):
             kernel runs at ~30% of HBM peak — is it DMA-granularity?)
 
 Each rung reports recall@10, ms/batch, QPS, and a stop_after stage
-budget for the winner. Writes BENCH_STAGE_r5.json (incremental).
+budget for the winner. Writes BENCH_STAGE_r5.json (incremental,
+appending to prior families' rows).
 
-Usage: python -m seismic_tpu.harness.probe_r5b
+Usage: python -m seismic_tpu.harness.probe_r5b [family ...]
+  families: grid grid2 knn 2pass b1 csub4   (default: all)
+Run each family as its OWN process: accumulated executables' scratch
+reservations OOMed the knn family after the 12-program grid family on
+this 16GB chip (jax.clear_caches() between rungs helps but fresh
+processes are the reliable boundary).
 """
 from __future__ import annotations
 
@@ -42,6 +48,14 @@ sys.path.insert(0, ROOT)
 # headline bench config: 100K docs, narrowed V=512 topv tiles
 os.environ.setdefault("BENCH_N_DOCS", "100000")
 os.environ.setdefault("BENCH_N_QUERIES", "16384")
+
+
+def _load_rows():
+    path = os.path.join(ROOT, "BENCH_STAGE_r5.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f).get("rungs", [])
+    return []
 
 
 def _write(rows, meta):
@@ -102,19 +116,26 @@ def main():
     log(f"arrays loaded: {time.time()-t0:.1f}s  knn="
         f"{'yes' if knn_np is not None else 'no'}")
 
+    fams = set(sys.argv[1:]) or {"grid", "grid2", "knn", "2pass", "b1",
+                                 "csub4"}
     B = 16384
     M = 16
     qn, vn = q_comps[:B], q_vals[:B]
     qd = jnp.asarray(qn, jnp.int32)
     vd = jnp.asarray(vn, jnp.float32)
     gt = gt_ids[:B]
-    rows = []
+    rows = _load_rows()
+    done = {r.get("label") for r in rows}
     meta = {"B": B, "M": M, "narrow_v": bench.NARROW_V}
 
     def make_run(index, ctx, csub):
         caps = {}
 
         def run(gp, qcut, reps=4, label="", stage=False):
+            if label in done:
+                log(f"{label}: skipped (already measured)")
+                return None, None
+            jax.clear_caches()
             if qcut not in caps:
                 caps[qcut] = plan_caps(qn, vn, ctx, qcut, M=M)
             gc, wc = caps[qcut]
@@ -175,39 +196,69 @@ def main():
                             compute_dtype="i8", pool_mode="hier",
                             pool_per_pair=16, kernel_unroll=8)
 
-    # ---- base + stage budget ----
-    run(gp_base, 13, label="base_hier_qc13_p96r64", stage=True)
+    if "grid" in fams:
+        # ---- base + stage budget ----
+        run(gp_base, 13, label="base_hier_qc13_p96r64", stage=True)
 
-    # ---- stride pool ----
-    for sel in ("exact", "approx"):
-        gp = dataclasses.replace(gp_base, pool_mode="stride",
-                                 pool_per_pair=0, pool_stride=8,
-                                 pool_select=sel)
+        # ---- stride pool ----
+        for sel in ("exact", "approx"):
+            gp = dataclasses.replace(gp_base, pool_mode="stride",
+                                     pool_per_pair=0, pool_stride=8,
+                                     pool_select=sel)
+            try:
+                run(gp, 13, label=f"stride8_{sel}_qc13_p96r64")
+            except Exception as e:  # noqa: BLE001
+                log(f"stride/{sel}: FAILED {type(e).__name__}: {e}")
+
+        # ---- rowmajor qloc ----
         try:
-            run(gp, 13, label=f"stride8_{sel}_qc13_p96r64")
+            gp = dataclasses.replace(gp_base, qloc_mode="rowmajor")
+            run(gp, 13, label="rowmajor_qloc_qc13_p96r64")
         except Exception as e:  # noqa: BLE001
-            log(f"stride/{sel}: FAILED {type(e).__name__}: {e}")
+            log(f"rowmajor: FAILED {type(e).__name__}: {e}")
 
-    # ---- rowmajor qloc ----
-    try:
-        gp = dataclasses.replace(gp_base, qloc_mode="rowmajor")
-        run(gp, 13, label="rowmajor_qloc_qc13_p96r64")
-    except Exception as e:  # noqa: BLE001
-        log(f"rowmajor: FAILED {type(e).__name__}: {e}")
+        # ---- score_cut=48 ----
+        gp = dataclasses.replace(gp_base, score_cut=48)
+        run(gp, 13, label="sc48_qc13_p96r64")
 
-    # ---- score_cut=48 ----
-    gp = dataclasses.replace(gp_base, score_cut=48)
-    run(gp, 13, label="sc48_qc13_p96r64")
+        # ---- dedup post ----
+        gp = dataclasses.replace(gp_base, dedup_mode="post")
+        run(gp, 13, label="ddpost_qc13_p96r64")
 
-    # ---- dedup post ----
-    gp = dataclasses.replace(gp_base, dedup_mode="post")
-    run(gp, 13, label="ddpost_qc13_p96r64")
+    if "grid2" in fams:
+        # ---- follow-ups on the grid family's findings: ddpost was
+        # -8ms at -0.08pt (one qc step below the bar), stride8 was
+        # -12ms at -2.5pt (the windowed max conflates ADJACENT posting
+        # rows = same-cluster docs; smaller windows lose less) ----
+        gp = dataclasses.replace(gp_base, dedup_mode="post")
+        run(gp, 14, label="ddpost_qc14_p96r64")
+        for stride in (4, 2):
+            gp = dataclasses.replace(gp_base, pool_mode="stride",
+                                     pool_per_pair=0, pool_stride=stride,
+                                     pool_select="exact")
+            try:
+                run(gp, 13, label=f"stride{stride}_exact_qc13_p96r64")
+            except Exception as e:  # noqa: BLE001
+                log(f"stride{stride}: FAILED {type(e).__name__}: {e}")
+        gp = dataclasses.replace(gp_base, pool_mode="stride",
+                                 pool_per_pair=0, pool_stride=4,
+                                 pool_select="exact", dedup_mode="post")
+        try:
+            run(gp, 14, label="stride4_ddpost_qc14_p96r64")
+        except Exception as e:  # noqa: BLE001
+            log(f"stride4_ddpost: FAILED {type(e).__name__}: {e}")
 
-    # ---- knn_top economics (ask #5) ----
-    if knn_np is not None:
+    if "knn" in fams and knn_np is not None:
+        # ---- knn_top economics (ask #5) ----
         for qc, ktop in ((12, 0), (12, 4), (12, 2), (13, 4)):
             gp = dataclasses.replace(gp_base, n_knn=16, knn_top=ktop)
             run(gp, qc, label=f"knn16top{ktop}_qc{qc}_p96r64")
+        # cheap-base + cheap-refine headline candidates: can qc12 +
+        # top2/top4 refine beat the plain qc13 rung at >= 0.97?
+        for qc, ktop in ((12, 2), (12, 4)):
+            gp = dataclasses.replace(gp_base, n_knn=16, knn_top=ktop,
+                                     dedup_mode="post")
+            run(gp, qc, label=f"knn16top{ktop}_ddpost_qc{qc}_p96r64")
 
     # ---- two-pass adaptive at 100K (cheap pass 1 + deep pass 2 on the
     # flagged few %): can the adaptive driver beat the fixed headline? ----
@@ -232,17 +283,26 @@ def main():
                      "flagged": st["flagged"]})
         _write(rows, meta)
 
-    p2_deep = dataclasses.replace(gp_base, pool=256, rescore=128)
-    for qc1, pool1, r1_, eps in ((12, 48, 32, 0.05), (12, 48, 32, 0.1),
-                                 (12, 64, 48, 0.05), (13, 64, 48, 0.05)):
-        p1 = dataclasses.replace(gp_base, pool=pool1, rescore=r1_)
-        tp = TwoPassParams(pass1=p1, pass2=p2_deep, query_cut1=qc1,
-                           query_cut2=16, eps=0.0, eps_rel=eps,
-                           b2_frac=0.125, b2_min=256, M=M)
-        try:
-            run_tp(tp, f"2pass_qc{qc1}_p{pool1}r{r1_}_eps{eps}")
-        except Exception as e:  # noqa: BLE001
-            log(f"2pass qc{qc1}/eps{eps}: FAILED {type(e).__name__}: {e}")
+    if "2pass" in fams:
+        p2_deep = dataclasses.replace(gp_base, pool=256, rescore=128)
+        for qc1, pool1, r1_, eps in ((12, 48, 32, 0.05),
+                                     (12, 48, 32, 0.1),
+                                     (12, 64, 48, 0.05),
+                                     (13, 64, 48, 0.05)):
+            p1 = dataclasses.replace(gp_base, pool=pool1, rescore=r1_)
+            tp = TwoPassParams(pass1=p1, pass2=p2_deep, query_cut1=qc1,
+                               query_cut2=16, eps=0.0, eps_rel=eps,
+                               b2_frac=0.125, b2_min=256, M=M)
+            lbl = f"2pass_qc{qc1}_p{pool1}r{r1_}_eps{eps}"
+            if lbl in done:
+                log(f"{lbl}: skipped (already measured)")
+                continue
+            jax.clear_caches()
+            try:
+                run_tp(tp, lbl)
+            except Exception as e:  # noqa: BLE001
+                log(f"2pass qc{qc1}/eps{eps}: FAILED "
+                    f"{type(e).__name__}: {e}")
 
     # ---- low-latency b1 (VERDICT r4 ask #6: device b1 p50 <= 0.4ms) ----
     # where does the 0.769ms go? stage budgets at B=1 are dispatch-bound,
@@ -251,6 +311,10 @@ def main():
     # rescore) and a plan-upload variant (search_grouped_jit: host plan,
     # fewer device ops than the in-jit derivation).
     def run_b1(gp, qcut, label, reps=200):
+        if f"b1_{label}" in done:
+            log(f"b1_{label}: skipped (already measured)")
+            return
+        jax.clear_caches()
         q1 = qn[:1]
         v1 = vn[:1]
         q1d = jnp.asarray(q1, jnp.int32)
@@ -270,16 +334,22 @@ def main():
                      "ms_per_call": round(dt * 1e3, 3)})
         _write(rows, meta)
 
-    run_b1(gp_base, 13, "base_hier")
-    run_b1(dataclasses.replace(gp_base, pool_mode="exact",
-                               pool_per_pair=0), 13, "exactpool")
-    run_b1(dataclasses.replace(gp_base, pool_mode="exact",
-                               pool_per_pair=0, dedup_mode="post",
-                               kernel_unroll=1), 13, "exact_ddpost_u1")
-    run_b1(dataclasses.replace(gp_base, pool_mode="exact",
-                               pool_per_pair=0, dedup_mode="post",
-                               pool=48, rescore=32), 13,
-           "exact_ddpost_p48r32")
+    if "b1" in fams:
+        run_b1(gp_base, 13, "base_hier")
+        run_b1(dataclasses.replace(gp_base, pool_mode="exact",
+                                   pool_per_pair=0), 13, "exactpool")
+        run_b1(dataclasses.replace(gp_base, pool_mode="exact",
+                                   pool_per_pair=0, dedup_mode="post",
+                                   kernel_unroll=1), 13,
+               "exact_ddpost_u1")
+        run_b1(dataclasses.replace(gp_base, pool_mode="exact",
+                                   pool_per_pair=0, dedup_mode="post",
+                                   pool=48, rescore=32), 13,
+               "exact_ddpost_p48r32")
+
+    if "csub4" not in fams:
+        log("wrote BENCH_STAGE_r5.json")
+        return
 
     # ---- csub=4 upload (bigger DMA granularity) ----
     del index

@@ -1,0 +1,249 @@
+"""Round-5 probe C, one TPU session: the 1M BAR (VERDICT r4 ask #2,
+recall >= 0.97 at >= 20K QPS at 1M docs) via a better FIXED rung.
+
+Round-5 findings that shape this grid:
+  - the two-pass margin flag is dead (probe_r5a: misses sit at rel
+    margin 0.2-0.4, indistinguishable from non-misses — i8 score noise
+    swamps the truncation signal; flag 0.9% catches 34/1193 misses);
+  - hier pool costs ~1.2pt at 1M vs approx (r4e 0.9512 vs r3q 0.9631 at
+    the same shape: the per-pair cap truncates the skewed RANKED tail,
+    p999 pool depth 583);
+  - i8 qloc quantization costs ~1pt of POOL ORDER (probe_r5a header):
+    compute_dtype="bf16" keeps u8 tile codes exact and rounds only the
+    qloc operand to bf16 — near-fp pool order at 2x kernel-rate cost.
+
+So: pool_mode="approx" + compute_dtype="bf16" for pool ORDER, knn_top
+(refine only the top-m heap entries, reference Knn::refine economics
+src/inverted_index.rs:551-593) + dedup_mode="post" for the QPS side.
+Each rung clears the jit caches first: accumulated executables' scratch
+reservations OOMed probe_r5b on this 16GB chip.
+
+Writes SCALE_BENCH.json rungs_r5_bar (incremental).
+
+Usage: python -m seismic_tpu.harness.probe_r5c [width]
+  needs the c1m cache (.bench_cache/index_1000000_* + gt + knn16).
+"""
+from __future__ import annotations
+
+import dataclasses
+import faulthandler
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+faulthandler.dump_traceback_later(8000, exit=True)
+ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..")
+sys.path.insert(0, ROOT)
+
+os.environ.setdefault("BENCH_N_DOCS", "1000000")
+os.environ.setdefault("BENCH_N_QUERIES", "2048")
+os.environ.setdefault("BENCH_BATCH", "2048")
+os.environ.setdefault("BENCH_N_POSTINGS", "400")
+os.environ.setdefault("BENCH_TILE_OVERFLOW", "0")
+
+BAR_RECALL = 0.97
+BAR_QPS = 20000.0
+
+
+def _write_rungs(rows, meta):
+    path = os.path.join(ROOT, "SCALE_BENCH.json")
+    art = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            art = json.load(f)
+    art["rungs_r5_bar"] = {
+        "note": (
+            "round-5 1M bar rungs (probe_r5c): pool_mode=approx (hier's "
+            "per-pair cap loses ~1.2pt at 1M), compute_dtype=bf16 "
+            "(recovers the ~1pt of pool order i8 qloc costs), knn_top + "
+            "dedup_mode=post as QPS levers. Bar: recall>=0.97 at >=20K "
+            "QPS (VERDICT r4 ask #2)."
+        ),
+        **meta,
+        "rungs": rows,
+    }
+    with open(path, "w") as f:
+        json.dump(art, f, indent=1)
+
+
+def main():
+    import bench
+    from bench import _sync, log, recall_at_k
+
+    faulthandler.cancel_dump_traceback_later()
+    faulthandler.dump_traceback_later(8000, exit=True)
+
+    import jax
+    import jax.numpy as jnp
+
+    from seismic_tpu.search import knn as knn_mod
+    from seismic_tpu.search.grouped import (
+        GroupedParams,
+        plan_caps,
+        search_grouped_derive_jit,
+    )
+    from seismic_tpu.search.planner import PlannerContext
+    from seismic_tpu.types import KNN_SUFFIX, IndexArrays
+
+    W = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    base = os.path.join(
+        bench.CACHE,
+        f"index_{bench.N_DOCS}_{bench.DIM}_{bench.N_POSTINGS}"
+        f"_v{bench.V_CAP}_o{bench.TILE_OVERFLOW}")
+    log("devices:", jax.devices())
+    q_comps, q_vals = bench.get_queries(bench.DIM)
+    with np.load(os.path.join(
+            bench.CACHE,
+            f"gt_{bench.N_DOCS}_{bench.DIM}_{len(q_comps)}.npz")) as z:
+        gt_ids = z["ids"]
+    knn_path = base + ".knn16"
+    knn_host = (knn_mod.load_knn(knn_path)
+                if os.path.exists(knn_path + KNN_SUFFIX) else None)
+    log(f"knn graph: {'loaded' if knn_host is not None else 'MISSING'}")
+
+    path = base + ".dir" if W == 1024 else base + f"_nw{W}.dir"
+    t0 = time.time()
+    arrays = IndexArrays.load_dir(path)
+    for f in ("tile_ovf_comps", "tile_ovf_vals", "summary_comps",
+              "summary_codes", "dense_summary", "dense_scale",
+              "block_sketch", "block_sketch_scale", "doc_sketch",
+              "doc_sketch_scale"):
+        setattr(arrays, f, None)
+    index = arrays.to_device(pallas_tiles=True, tile_csub=bench.CSUB)
+    ctx = PlannerContext.from_arrays(arrays, csub=bench.CSUB)
+    _sync(index.doc_tiles_aligned)
+    hbm = int(sum(x.nbytes for x in jax.tree.leaves(index)
+                  if hasattr(x, "nbytes")))
+    if knn_host is not None:
+        index = dataclasses.replace(
+            index, knn=jax.device_put(jnp.asarray(knn_host)))
+        hbm += int(knn_host.nbytes)
+    log(f"[W={W}] load+to_device+ctx: {time.time()-t0:.1f}s "
+        f"HBM={hbm/1e9:.2f}GB")
+
+    B = 2048
+    M = 8
+    qn, vn = q_comps[:B], q_vals[:B]
+    qd = jnp.asarray(qn, jnp.int32)
+    vd = jnp.asarray(vn, jnp.float32)
+    gt = gt_ids[:B]
+    rows = []
+    meta = {"W": W, "batch": B, "M": M, "device_bytes": hbm}
+    caps = {}
+
+    def run(gp, qcut, label, reps=4, stage=False):
+        # drop prior executables: their scratch reservations accumulate
+        # and OOMed probe_r5b after ~6 distinct programs on this chip
+        jax.clear_caches()
+        if qcut not in caps:
+            caps[qcut] = plan_caps(qn, vn, ctx, qcut, M=M)
+        gc, wc = caps[qcut]
+        out = search_grouped_derive_jit(
+            index, qd, vd, gp, qcut, M, gc, wc, ctx.zero_region)
+        _sync(out)
+        t0 = time.time()
+        for _ in range(reps):
+            out = search_grouped_derive_jit(
+                index, qd, vd, gp, qcut, M, gc, wc, ctx.zero_region)
+        _sync(out)
+        dt = (time.time() - t0) / reps
+        rec = recall_at_k(np.asarray(out[1]), gt)
+        log(f"{label}: {dt*1e3:7.2f} ms  recall@10={rec:.4f} "
+            f"QPS={B/dt:,.0f}")
+        row = {"label": label, "W": W, "query_cut": qcut,
+               "pool": gp.pool, "rescore": gp.rescore,
+               "compute_dtype": gp.compute_dtype, "n_knn": gp.n_knn,
+               "knn_top": gp.knn_top, "dedup_mode": gp.dedup_mode,
+               "ms_per_batch": round(dt * 1e3, 2),
+               "qps": round(B / dt, 1), "recall_at_10": round(rec, 4)}
+        if stage:
+            budget = {}
+            for st in ("qloc", "expand", "kernel", "regroup", "pool",
+                       "prerank"):
+                gs = dataclasses.replace(gp, stop_after=st)
+                try:
+                    o = search_grouped_derive_jit(
+                        index, qd, vd, gs, qcut, M, gc, wc,
+                        ctx.zero_region)
+                    _sync(o)
+                    t1 = time.time()
+                    for _ in range(3):
+                        o = search_grouped_derive_jit(
+                            index, qd, vd, gs, qcut, M, gc, wc,
+                            ctx.zero_region)
+                    _sync(o)
+                    budget[st] = round((time.time() - t1) / 3 * 1e3, 2)
+                except Exception as e:  # noqa: BLE001
+                    budget[st] = f"err {type(e).__name__}"
+            row["stage_ms_cum"] = budget
+            log(f"  stage budget (cumulative): {budget}")
+        rows.append(row)
+        _write_rungs(rows, meta)
+        return dt, rec
+
+    i8 = GroupedParams(k=10, score_cut=64, pool=512, rescore=256,
+                       compute_dtype="i8", pool_mode="approx",
+                       pool_per_pair=0, kernel_unroll=8)
+    bf = dataclasses.replace(i8, compute_dtype="bf16", kernel_unroll=1)
+
+    def safe(gp, qcut, label, **kw):
+        try:
+            return run(gp, qcut, label, **kw)
+        except Exception as e:  # noqa: BLE001
+            log(f"{label}: FAILED {type(e).__name__}: {e}")
+            return None, None
+
+    # 1) reproduce round-4's best + the 1M stage decomposition we lack
+    safe(dataclasses.replace(i8, n_knn=8), 16,
+         "i8_knn8_qc16_p512r256", stage=True)
+    # 2) the bf16 recall-headroom test (the round's key data point)
+    dt_bf, rec_bf = safe(dataclasses.replace(bf, n_knn=8), 16,
+                         "bf16_knn8_qc16_p512r256", stage=True)
+    # 3) QPS levers on i8 (knn_top + ddpost), independent of bf16
+    safe(dataclasses.replace(i8, n_knn=8, knn_top=4), 16,
+         "i8_knn8top4_qc16_p512r256")
+    safe(dataclasses.replace(i8, n_knn=8, knn_top=4, dedup_mode="post"),
+         16, "i8_knn8top4_ddpost_qc16_p512r256")
+
+    # 4) the candidate bar rung: bf16 + both QPS levers
+    bf_lev = dataclasses.replace(bf, n_knn=8, knn_top=4,
+                                 dedup_mode="post")
+    dt_c, rec_c = safe(bf_lev, 16, "bf16_knn8top4_ddpost_qc16_p512r256")
+
+    # 5) adapt: push recall (qc20 / full refine) or push QPS (smaller
+    # pool / qc14) depending on where the candidate landed
+    if rec_c is not None and rec_c < BAR_RECALL:
+        safe(dataclasses.replace(bf_lev), 20,
+             "bf16_knn8top4_ddpost_qc20_p512r256")
+        safe(dataclasses.replace(bf, n_knn=8, dedup_mode="post"), 20,
+             "bf16_knn8_ddpost_qc20_p512r256")
+    if rec_c is not None and (rec_c >= BAR_RECALL
+                              or (rec_bf or 0) >= BAR_RECALL):
+        safe(dataclasses.replace(bf_lev, pool=384, rescore=192), 16,
+             "bf16_knn8top4_ddpost_qc16_p384r192")
+        safe(dataclasses.replace(bf_lev), 14,
+             "bf16_knn8top4_ddpost_qc14_p512r256")
+        safe(dataclasses.replace(bf_lev, pool=256, rescore=128), 16,
+             "bf16_knn8top4_ddpost_qc16_p256r128")
+
+    # 6) deeper rescore probes the admitted rescore-truncation gap
+    # (Design.md: 2.2-2.5pt RANKED tail) — is r384 worth its cost?
+    safe(dataclasses.replace(bf_lev, rescore=384), 16,
+         "bf16_knn8top4_ddpost_qc16_p512r384")
+
+    best = max((r for r in rows if isinstance(r.get("recall_at_10"),
+                                              float)),
+               key=lambda r: (r["recall_at_10"] >= BAR_RECALL,
+                              r["qps"]), default=None)
+    if best:
+        log(f"best rung: {best['label']} recall={best['recall_at_10']} "
+            f"QPS={best['qps']:,.0f} (bar: >={BAR_RECALL} at "
+            f">={BAR_QPS:,.0f})")
+    log("wrote SCALE_BENCH.json rungs_r5_bar")
+
+
+if __name__ == "__main__":
+    main()

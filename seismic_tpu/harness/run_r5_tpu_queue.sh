@@ -70,6 +70,12 @@ for s in $STAGES; do
     mem)   run_stage mem 7200   python -m seismic_tpu.harness.bench_mem --block --batch 4096 ;;
     r5a)   run_stage r5a 9000   python -m seismic_tpu.harness.probe_r5a 1024 ;;
     r5b)   run_stage r5b 9000   python -m seismic_tpu.harness.probe_r5b ;;
+    r5c)   run_stage r5c 10000  python -m seismic_tpu.harness.probe_r5c ;;
+    r5b_grid2) run_stage r5b_grid2 5000 python -m seismic_tpu.harness.probe_r5b grid2 ;;
+    r5b_knn)   run_stage r5b_knn   5000 python -m seismic_tpu.harness.probe_r5b knn ;;
+    r5b_b1)    run_stage r5b_b1    5000 python -m seismic_tpu.harness.probe_r5b b1 ;;
+    r5b_2pass) run_stage r5b_2pass 5000 python -m seismic_tpu.harness.probe_r5b 2pass ;;
+    r5b_csub4) run_stage r5b_csub4 5000 python -m seismic_tpu.harness.probe_r5b csub4 ;;
     shard) run_stage shard 7200 python -m seismic_tpu.harness.bench_sharded --grouped ;;
     bench) run_stage bench 5400 python bench.py ;;
     *)     log "unknown stage $s" ;;
