@@ -14,8 +14,8 @@
 #   b88   = build_88m           (8.8M dataset+index build, CPU-heavy)
 #   j     = probe_r3j 512       (8.8M rung -> SCALE88_BENCH, incl. GT)
 #   mem   = bench_mem --block   (fast-and-lean artifact -> MEM_BENCH)
-#   r5a   = probe_r5a 1024      (1M two-pass adaptive -> SCALE_BENCH)
 #   r5b   = probe_r5b           (100K headline levers -> BENCH_STAGE_r5)
+#   r5c   = probe_r5c           (1M bar rungs -> SCALE_BENCH rungs_r5_bar)
 #   shard = bench_sharded --grouped (production-path sharded artifact)
 #   bench = bench.py            (headline protocol, at-bar selection)
 set -u
@@ -24,8 +24,9 @@ LOGDIR=/tmp/r5queue
 mkdir -p "$LOGDIR"
 
 # serialize queue instances machine-wide (one TPU client at a time);
-# a second invocation blocks here until the first finishes. The lock is
-# SHARED with the round-4 queue script so both can't run concurrently.
+# a second invocation blocks here until the first finishes. (The lock
+# path predates this script — kept so stale runners still exclude us.)
+mkdir -p /tmp/r4queue
 exec 9>/tmp/r4queue/tpu.lock
 flock 9
 
@@ -68,7 +69,6 @@ for s in $STAGES; do
     b88)   run_stage b88 28000  env JAX_PLATFORMS=cpu python -m seismic_tpu.harness.build_88m ;;
     j)     run_stage r3j 12000  python -m seismic_tpu.harness.probe_r3j 512 ;;
     mem)   run_stage mem 7200   python -m seismic_tpu.harness.bench_mem --block --batch 4096 ;;
-    r5a)   run_stage r5a 9000   python -m seismic_tpu.harness.probe_r5a 1024 ;;
     r5b)   run_stage r5b 9000   python -m seismic_tpu.harness.probe_r5b ;;
     r5c)   run_stage r5c 10000  python -m seismic_tpu.harness.probe_r5c ;;
     r5b_grid2) run_stage r5b_grid2 5000 python -m seismic_tpu.harness.probe_r5b grid2 ;;
