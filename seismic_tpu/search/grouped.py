@@ -134,6 +134,14 @@ class GroupedParams:
     # "exact" = lax.top_k over [B, QC*NW], "approx" = lax.approx_max_k
     # (PartialReduce, cheaper on wide rows; per-element pool_recall)
     pool_select: str = "exact"
+    # dtype of the regrouped score wall the pool selects over
+    # (hier/approx/exact/slot modes): "bf16" halves the [B, QC*LLMAX]
+    # traffic and the PartialReduce cost at the price of 8-bit-mantissa
+    # pool ORDER (the rescore stays exact; only near-ties at the pool
+    # boundary can swap). The 100K pool stage is the biggest headline
+    # line (54ms of 173ms at B=16384, probe_r5b) — this trades pool
+    # precision the i8 kernel doesn't have anyway for its bandwidth.
+    pool_dtype: str = "f32"
     # rescore-path dedup placement: "pre" = sort-dedup the whole pool
     # before picking the rescore set (max unique candidates); "post" =
     # rescore the raw top-`rescore` (dups waste some rescore lanes) and
@@ -1062,16 +1070,17 @@ def _grouped_impl(
 
     # ---- regroup score rows to query order (wide-row gather: HBM-speed
     # on this device) and pool per query, exactly like the round-1 tail ----
+    pdt = (jnp.bfloat16 if params.pool_dtype == "bf16"
+           else jnp.float32)
     if item_major:
-        pv = _item_regroup(scores, plan, csub, NSUP_ALL).reshape(
-            B, QC, LLMAX
-        )
+        pv = _item_regroup(scores.astype(pdt), plan, csub,
+                           NSUP_ALL).reshape(B, QC, LLMAX)
     else:
-        pv = scores.astype(jnp.float32).reshape(G_cap * M, LLMAX)[
+        pv = scores.astype(pdt).reshape(G_cap * M, LLMAX)[
             plan.pair_slot.reshape(B * QC)
         ].reshape(B, QC, LLMAX)
     if pair_scale is not None:
-        pv = pv * pair_scale.reshape(B, QC, 1)
+        pv = pv * pair_scale.reshape(B, QC, 1).astype(pdt)
     rows_ok = (
         jnp.arange(LLMAX, dtype=jnp.int32)[None, None, :]
         < plan.pair_len[..., None]
@@ -1114,6 +1123,9 @@ def _grouped_impl(
         )
     else:
         top_scores, sel = jax.lax.top_k(pv, pool)
+    # the tail (prerank order, margin diag, finite masks) runs in f32;
+    # only the wall the pool SELECTED over was pool_dtype
+    top_scores = top_scores.astype(jnp.float32)
     qc_slot = sel // LLMAX
     off = sel % LLMAX
     post_sel = jnp.take_along_axis(plan.pair_pstart, qc_slot, axis=1) + off

@@ -445,6 +445,24 @@ def test_pool_mode_hier(setup):
     assert _recall(i_h, gt_i) >= _recall(i_e, gt_i) - 0.03
 
 
+def test_pool_dtype_bf16(setup):
+    """pool_dtype="bf16" halves the regrouped score-wall traffic; only
+    pool ORDER can change (near-ties at the boundary), the rescore stays
+    exact — recall must track the f32 pool closely on every pool mode."""
+    ds, arrays, ctx, q_comps, q_vals, gt_i = setup
+    dev = arrays.to_device(pallas_tiles=True)
+    for pm in ("exact", "hier"):
+        f32 = GroupedParams(k=10, score_cut=64, pool=64, rescore=32,
+                            compute_dtype="i8", pool_mode=pm)
+        b16 = dataclasses.replace(f32, pool_dtype="bf16")
+        _, i_f = search_grouped(dev, ctx, q_comps, q_vals, f32,
+                                query_cut=10)
+        s_b, i_b = search_grouped(dev, ctx, q_comps, q_vals, b16,
+                                  query_cut=10)
+        assert s_b.dtype == np.float32 or s_b.dtype.name == "float32"
+        assert _recall(i_b, gt_i) >= _recall(i_f, gt_i) - 0.03, pm
+
+
 @pytest.mark.slow
 def test_pool_mode_slot_and_window(setup):
     """Round-3 tail-cut pools: "slot" (pool on the kernel slot grid before
