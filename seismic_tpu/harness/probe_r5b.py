@@ -117,7 +117,7 @@ def main():
         f"{'yes' if knn_np is not None else 'no'}")
 
     fams = set(sys.argv[1:]) or {"grid", "grid2", "knn", "2pass", "b1",
-                                 "csub4"}
+                                 "csub4", "pdt"}
     B = 16384
     M = 16
     qn, vn = q_comps[:B], q_vals[:B]
@@ -247,6 +247,17 @@ def main():
             run(gp, 14, label="stride4_ddpost_qc14_p96r64")
         except Exception as e:  # noqa: BLE001
             log(f"stride4_ddpost: FAILED {type(e).__name__}: {e}")
+
+    if "pdt" in fams:
+        # ---- pool_dtype=bf16: the regrouped score wall + PartialReduce
+        # in bf16 (the pool stage is 54ms of 173ms at this point — the
+        # single biggest line; rescore stays exact) ----
+        gp = dataclasses.replace(gp_base, pool_dtype="bf16")
+        run(gp, 13, label="pdt_hier_qc13_p96r64", stage=True)
+        gp = dataclasses.replace(gp_base, pool_dtype="bf16",
+                                 dedup_mode="post")
+        run(gp, 13, label="pdt_ddpost_qc13_p96r64")
+        run(gp, 14, label="pdt_ddpost_qc14_p96r64")
 
     if "knn" in fams and knn_np is not None:
         # ---- knn_top economics (ask #5) ----

@@ -15,12 +15,21 @@ Round-5 findings that shape this grid:
 So: pool_mode="approx" + compute_dtype="bf16" for pool ORDER, knn_top
 (refine only the top-m heap entries, reference Knn::refine economics
 src/inverted_index.rs:551-593) + dedup_mode="post" for the QPS side.
-Each rung clears the jit caches first: accumulated executables' scratch
-reservations OOMed probe_r5b on this 16GB chip.
 
-Writes SCALE_BENCH.json rungs_r5_bar (incremental).
+First r5c session's lessons (the W=1024 index is 14.93GB of the chip's
+16GB): (a) jax.clear_caches() is NOT enough — the third program OOMed
+and every later compile in that process failed (the remote-compile
+helper wedges after a ResourceExhausted) — so families run as OWN
+PROCESSES like probe_r5b; (b) stage budgets compile 6 extra programs,
+so they are opt-in (family "stage"); (c) compute_dtype=bf16 matched i8
+recall exactly (0.9692) — the 1M gap is RESCORE-TRUNCATION, not pool
+order, so the recall lever is rescore depth / qc, and bf16's remaining
+value is pool_dtype (halves the wall + scratch).
 
-Usage: python -m seismic_tpu.harness.probe_r5c [width]
+Writes SCALE_BENCH.json rungs_r5_bar (incremental; done labels skip).
+
+Usage: python -m seismic_tpu.harness.probe_r5c [width] [family ...]
+  families: lever deep bar stage   (default: lever deep)
   needs the c1m cache (.bench_cache/index_1000000_* + gt + knn16).
 """
 from __future__ import annotations
@@ -46,6 +55,14 @@ os.environ.setdefault("BENCH_TILE_OVERFLOW", "0")
 
 BAR_RECALL = 0.97
 BAR_QPS = 20000.0
+
+
+def _load_rows():
+    path = os.path.join(ROOT, "SCALE_BENCH.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f).get("rungs_r5_bar", {}).get("rungs", [])
+    return []
 
 
 def _write_rungs(rows, meta):
@@ -88,7 +105,9 @@ def main():
     from seismic_tpu.search.planner import PlannerContext
     from seismic_tpu.types import KNN_SUFFIX, IndexArrays
 
-    W = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    args = sys.argv[1:]
+    W = int(args.pop(0)) if args and args[0].isdigit() else 1024
+    fams = set(args) or {"lever", "deep"}
     base = os.path.join(
         bench.CACHE,
         f"index_{bench.N_DOCS}_{bench.DIM}_{bench.N_POSTINGS}"
@@ -130,11 +149,19 @@ def main():
     qd = jnp.asarray(qn, jnp.int32)
     vd = jnp.asarray(vn, jnp.float32)
     gt = gt_ids[:B]
-    rows = []
+    rows = _load_rows()
+    done = {r.get("label") for r in rows}
     meta = {"W": W, "batch": B, "M": M, "device_bytes": hbm}
     caps = {}
 
     def run(gp, qcut, label, reps=4, stage=False):
+        if label in done:
+            log(f"{label}: skipped (already measured)")
+            prior = next(r for r in rows if r.get("label") == label)
+            ms = prior.get("ms_per_batch")
+            rec = prior.get("recall_at_10")
+            return ((ms / 1e3) if isinstance(ms, (int, float)) else None,
+                    rec if isinstance(rec, float) else None)
         # drop prior executables: their scratch reservations accumulate
         # and OOMed probe_r5b after ~6 distinct programs on this chip
         jax.clear_caches()
@@ -155,7 +182,8 @@ def main():
             f"QPS={B/dt:,.0f}")
         row = {"label": label, "W": W, "query_cut": qcut,
                "pool": gp.pool, "rescore": gp.rescore,
-               "compute_dtype": gp.compute_dtype, "n_knn": gp.n_knn,
+               "compute_dtype": gp.compute_dtype,
+               "pool_dtype": gp.pool_dtype, "n_knn": gp.n_knn,
                "knn_top": gp.knn_top, "dedup_mode": gp.dedup_mode,
                "ms_per_batch": round(dt * 1e3, 2),
                "qps": round(B / dt, 1), "recall_at_10": round(rec, 4)}
@@ -187,7 +215,7 @@ def main():
     i8 = GroupedParams(k=10, score_cut=64, pool=512, rescore=256,
                        compute_dtype="i8", pool_mode="approx",
                        pool_per_pair=0, kernel_unroll=8)
-    bf = dataclasses.replace(i8, compute_dtype="bf16", kernel_unroll=1)
+    base = dataclasses.replace(i8, n_knn=8)  # 0.9692 @ 16.5K (session 1)
 
     def safe(gp, qcut, label, **kw):
         try:
@@ -196,43 +224,56 @@ def main():
             log(f"{label}: FAILED {type(e).__name__}: {e}")
             return None, None
 
-    # 1) reproduce round-4's best + the 1M stage decomposition we lack
-    safe(dataclasses.replace(i8, n_knn=8), 16,
-         "i8_knn8_qc16_p512r256", stage=True)
-    # 2) the bf16 recall-headroom test (the round's key data point)
-    dt_bf, rec_bf = safe(dataclasses.replace(bf, n_knn=8), 16,
-                         "bf16_knn8_qc16_p512r256", stage=True)
-    # 3) QPS levers on i8 (knn_top + ddpost), independent of bf16
-    safe(dataclasses.replace(i8, n_knn=8, knn_top=4), 16,
-         "i8_knn8top4_qc16_p512r256")
-    safe(dataclasses.replace(i8, n_knn=8, knn_top=4, dedup_mode="post"),
-         16, "i8_knn8top4_ddpost_qc16_p512r256")
+    if "stage" in fams:
+        # stage budgets compile 6 extra programs — own process only
+        safe(base, 16, "i8_knn8_qc16_p512r256_stage", stage=True)
 
-    # 4) the candidate bar rung: bf16 + both QPS levers
-    bf_lev = dataclasses.replace(bf, n_knn=8, knn_top=4,
-                                 dedup_mode="post")
-    dt_c, rec_c = safe(bf_lev, 16, "bf16_knn8top4_ddpost_qc16_p512r256")
+    if "lever" in fams:
+        # the three QPS levers on the best session-1 recipe, stacked one
+        # at a time (each ~halves a specific tail stage's cost):
+        # pool_dtype=bf16 (pool wall bytes + PartialReduce), knn_top=4
+        # (refine gathers 4*8 instead of 10*8 neighbor rows), ddpost
+        # (skips the pool-wide variadic sort)
+        safe(dataclasses.replace(base, pool_dtype="bf16"), 16,
+             "i8_knn8_pdt_qc16_p512r256")
+        safe(dataclasses.replace(base, pool_dtype="bf16", knn_top=4), 16,
+             "i8_knn8top4_pdt_qc16_p512r256")
+        safe(dataclasses.replace(base, pool_dtype="bf16", knn_top=4,
+                                 dedup_mode="post"), 16,
+             "i8_knn8top4_pdt_ddpost_qc16_p512r256")
 
-    # 5) adapt: push recall (qc20 / full refine) or push QPS (smaller
-    # pool / qc14) depending on where the candidate landed
-    if rec_c is not None and rec_c < BAR_RECALL:
-        safe(dataclasses.replace(bf_lev), 20,
-             "bf16_knn8top4_ddpost_qc20_p512r256")
-        safe(dataclasses.replace(bf, n_knn=8, dedup_mode="post"), 20,
-             "bf16_knn8_ddpost_qc20_p512r256")
-    if rec_c is not None and (rec_c >= BAR_RECALL
-                              or (rec_bf or 0) >= BAR_RECALL):
-        safe(dataclasses.replace(bf_lev, pool=384, rescore=192), 16,
-             "bf16_knn8top4_ddpost_qc16_p384r192")
-        safe(dataclasses.replace(bf_lev), 14,
-             "bf16_knn8top4_ddpost_qc14_p512r256")
-        safe(dataclasses.replace(bf_lev, pool=256, rescore=128), 16,
-             "bf16_knn8top4_ddpost_qc16_p256r128")
+    if "deep" in fams:
+        # the recall side: the 1M gap is rescore truncation (bf16 pool
+        # order changed nothing), so buy recall with rescore depth and
+        # qc on TOP of the lever stack, then see what QPS survives
+        lev = dataclasses.replace(base, pool_dtype="bf16", knn_top=4,
+                                  dedup_mode="post")
+        safe(dataclasses.replace(lev, rescore=384), 16,
+             "i8_knn8top4_pdt_ddpost_qc16_p512r384")
+        safe(dataclasses.replace(lev, pool=768, rescore=384), 16,
+             "i8_knn8top4_pdt_ddpost_qc16_p768r384")
+        safe(lev, 20, "i8_knn8top4_pdt_ddpost_qc20_p512r256")
 
-    # 6) deeper rescore probes the admitted rescore-truncation gap
-    # (Design.md: 2.2-2.5pt RANKED tail) — is r384 worth its cost?
-    safe(dataclasses.replace(bf_lev, rescore=384), 16,
-         "bf16_knn8top4_ddpost_qc16_p512r384")
+    if "bar" in fams:
+        # final adaptive family: pick the highest-recall measured recipe
+        # and walk its cheapest compliant neighborhood
+        lev = dataclasses.replace(base, pool_dtype="bf16", knn_top=4,
+                                  dedup_mode="post")
+        best = max((r for r in rows
+                    if isinstance(r.get("recall_at_10"), float)),
+                   key=lambda r: r["recall_at_10"], default=None)
+        if best and best["recall_at_10"] >= BAR_RECALL:
+            # shave cost under the compliant point
+            safe(dataclasses.replace(lev, pool=max(
+                256, best["pool"] // 2), rescore=best["rescore"]),
+                best["query_cut"],
+                f"bar_halfpool_qc{best['query_cut']}")
+        else:
+            safe(dataclasses.replace(lev, pool=768, rescore=512), 20,
+                 "i8_knn8top4_pdt_ddpost_qc20_p768r512")
+            safe(dataclasses.replace(lev, n_knn=16, knn_top=4,
+                                     rescore=384), 16,
+                 "i8_knn16top4_pdt_ddpost_qc16_p512r384")
 
     best = max((r for r in rows if isinstance(r.get("recall_at_10"),
                                               float)),
