@@ -199,7 +199,16 @@ def run_block(args):
     base = GroupedParams(k=10, score_cut=64, pool=32, block_expand=E,
                          compute_dtype="i8", pool_mode="hier",
                          pool_per_pair=8, kernel_unroll=8)
+    # incremental across runs: prior rungs are kept and skipped, so the
+    # deep at-bar extension doesn't re-pay the 20-rung base grid
     rows = []
+    mpath = os.path.join(ROOT, "MEM_BENCH.json")
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            prev_art = json.load(f).get("block_mode", {})
+        if prev_art.get("V") == V and prev_art.get("batch") == B:
+            rows = prev_art.get("rungs", [])
+    done = {(r["query_cut"], r["pool"], r["E"]) for r in rows}
 
     def flush():
         # incremental: a timeout mid-ladder still leaves the rungs run
@@ -218,8 +227,18 @@ def run_block(args):
         return artifact
 
     for qcut in (10, 12, 14, 16):
-        for pool, ppp, Ee in ((16, 4, E), (32, 8, E), (48, 12, E),
-                              (64, 16, E), (32, 8, 16)):
+        ladder = [(16, 4, E), (32, 8, E), (48, 12, E), (64, 16, E),
+                  (32, 8, 16)]
+        if qcut in (10, 12):
+            # at-bar extension (VERDICT r5: the memory-parity story needs
+            # a recall>=0.97 rung on the production lean path; recall is
+            # pool-bound here — qc barely moves it — so deep pools at the
+            # cheap qcuts only)
+            ladder += [(96, 24, E), (128, 32, E)]
+        for pool, ppp, Ee in ladder:
+            if (qcut, pool, Ee) in done:
+                log(f"qc{qcut}/p{pool}/E{Ee}: skipped (already measured)")
+                continue
             gp = dataclasses.replace(base, pool=pool, pool_per_pair=ppp,
                                      block_expand=Ee)
             gc, wc = plan_caps(q_comps[:B], q_vals[:B], ctx, qcut, M=8)
