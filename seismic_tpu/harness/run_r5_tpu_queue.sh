@@ -9,7 +9,8 @@
 # tunnel check fail fast and the queue re-polls instead of wedging.
 #
 # Usage: bash seismic_tpu/harness/run_r5_tpu_queue.sh [stage ...]
-#   stages default to: j mem r5a bench
+#   stages default to: mem bench
+#   c100k = rebuild_r3_cache 100k (dataset/index/GT/narrow dirs/knn16)
 #   c1m   = rebuild_r3_cache 1m (dataset/index/GT/narrow dirs/knn16)
 #   b88   = build_88m           (8.8M dataset+index build, CPU-heavy)
 #   j     = probe_r3j 512       (8.8M rung -> SCALE88_BENCH, incl. GT)
@@ -61,10 +62,11 @@ run_stage() {
   fi
 }
 
-STAGES=${*:-j mem r5a bench}
+STAGES=${*:-mem bench}
 for s in $STAGES; do
   case $s in b88) ;; *) wait_for_tunnel ;; esac
   case $s in
+    c100k) run_stage c100k 20000 python -m seismic_tpu.harness.rebuild_r3_cache 100k ;;
     c1m)   run_stage c1m 20000  python -m seismic_tpu.harness.rebuild_r3_cache 1m ;;
     b88)   run_stage b88 28000  env JAX_PLATFORMS=cpu python -m seismic_tpu.harness.build_88m ;;
     j)     run_stage r3j 12000  python -m seismic_tpu.harness.probe_r3j 512 ;;
