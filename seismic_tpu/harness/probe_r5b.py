@@ -258,6 +258,13 @@ def main():
                                  dedup_mode="post")
         run(gp, 13, label="pdt_ddpost_qc13_p96r64")
         run(gp, 14, label="pdt_ddpost_qc14_p96r64")
+        # pool_recall: approx_max_k's recall_target scales the
+        # PartialReduce's per-tile keep count — a direct pool-stage cost
+        # knob never TPU-measured (default 0.98; padding absorbs most of
+        # the loss since valid rows are a minority of the padded wall)
+        gp = dataclasses.replace(gp_base, pool_dtype="bf16",
+                                 dedup_mode="post", pool_recall=0.9)
+        run(gp, 14, label="pdt_ddpost_pr90_qc14_p96r64")
 
     if "knn" in fams and knn_np is not None:
         # ---- knn_top economics (ask #5) ----

@@ -241,6 +241,12 @@ def main():
         safe(dataclasses.replace(base, pool_dtype="bf16", knn_top=4,
                                  dedup_mode="post"), 16,
              "i8_knn8top4_pdt_ddpost_qc16_p512r256")
+        # pool_recall 0.9: approx_max_k keeps fewer entries per lane
+        # tile — cheaper PartialReduce over the 1M wall (38.4ms of
+        # 124ms); recall cost measured right here
+        safe(dataclasses.replace(base, pool_dtype="bf16", knn_top=4,
+                                 dedup_mode="post", pool_recall=0.9), 16,
+             "i8_knn8top4_pdt_ddpost_pr90_qc16_p512r256")
 
     if "deep" in fams:
         # the recall side: the 1M gap is rescore truncation (bf16 pool
