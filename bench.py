@@ -81,6 +81,18 @@ POOL_MODE = os.environ.get("BENCH_POOL_MODE", "hier")
 # B=16384, identical recall; round-3 measured M=16 NEGATIVE at B=4096
 # where groups don't fill — so the B=BATCH path keeps M=8)
 M_BIG = int(os.environ.get("BENCH_M_BIG", 16))
+# round-5 throughput levers (probe_r5b/r5c): pool_dtype="bf16" halves
+# the regrouped score-wall bytes the pool stage reads (rescore stays
+# exact f32); dedup_mode="post" skips the pool-wide variadic sort;
+# knn_top=m refines only the top-m heap entries' neighbors (reference
+# Knn::refine economics, src/inverted_index.rs:551-593); pool_recall is
+# approx_max_k's recall_target (PartialReduce keep-count knob). Defaults
+# stay at the measured round-4 point until the r5 probes certify each
+# lever recall-neutral at the headline rung.
+POOL_DTYPE = os.environ.get("BENCH_POOL_DTYPE", "f32")
+DEDUP_MODE = os.environ.get("BENCH_DEDUP_MODE", "pre")
+KNN_TOP = int(os.environ.get("BENCH_KNN_TOP", 0))
+POOL_RECALL = float(os.environ.get("BENCH_POOL_RECALL", 0.98))
 
 # Narrowing only actually applies on the topv path below V_CAP — key the
 # ladder on the SAME condition (round-3 advisor finding: hash/block modes
@@ -468,11 +480,18 @@ def main():
                                  block_expand=int(arrays.max_block_len),
                                  compute_dtype="i8", pool_mode="hier",
                                  pool_per_pair=max(4, BLOCK_POOL // 4),
-                                 kernel_unroll=8, n_knn=n_knn)
+                                 kernel_unroll=8, n_knn=n_knn,
+                                 pool_dtype=POOL_DTYPE,
+                                 dedup_mode=DEDUP_MODE,
+                                 knn_top=KNN_TOP if n_knn else 0,
+                                 pool_recall=POOL_RECALL)
         return GroupedParams(k=K, score_cut=64, pool=pool, rescore=rescore,
                              compute_dtype="i8", pool_mode=POOL_MODE,
                              pool_per_pair=16 if POOL_MODE == "hier" else 0,
-                             kernel_unroll=8, n_knn=n_knn)
+                             kernel_unroll=8, n_knn=n_knn,
+                             pool_dtype=POOL_DTYPE, dedup_mode=DEDUP_MODE,
+                             knn_top=KNN_TOP if n_knn else 0,
+                             pool_recall=POOL_RECALL)
 
     n_batches = max(1, N_QUERIES // BATCH)
 
