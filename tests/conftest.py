@@ -16,6 +16,19 @@ import jax
 # never compile over the TPU tunnel.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: the suite's dominant cost is CPU-interpret
+# Pallas/sharded compiles (round-4 verdict weak #5); repeat runs on the
+# same box warm-start them. Shares .jax_cache/ with __graft_entry__.
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # noqa: BLE001 - cache is best-effort
+    pass
+
 import numpy as np
 import pytest
 
