@@ -117,7 +117,7 @@ def main():
         f"{'yes' if knn_np is not None else 'no'}")
 
     fams = set(sys.argv[1:]) or {"grid", "grid2", "knn", "2pass", "b1",
-                                 "csub4", "pdt"}
+                                 "csub4", "pdt", "m32"}
     B = 16384
     M = 16
     qn, vn = q_comps[:B], q_vals[:B]
@@ -265,6 +265,41 @@ def main():
         gp = dataclasses.replace(gp_base, pool_dtype="bf16",
                                  dedup_mode="post", pool_recall=0.9)
         run(gp, 14, label="pdt_ddpost_pr90_qc14_p96r64")
+
+    if "m32" in fams:
+        # M=32 plan groups: M=8->16 bought +12% at B=16384 (hot lists'
+        # tiles stream once per 16 members); does the trend continue, or
+        # do 32-slot groups stop filling / blow the M-slot matmul tail?
+        caps32 = plan_caps(qn, vn, ctx, 13, M=32)
+
+        def run_m32(gp, qcut, label):
+            if label in done:
+                log(f"{label}: skipped (already measured)")
+                return
+            jax.clear_caches()
+            gc, wc = caps32
+            out = search_grouped_derive_jit(
+                index, qd, vd, gp, qcut, 32, gc, wc, ctx.zero_region)
+            _sync(out)
+            t0 = time.time()
+            for _ in range(4):
+                out = search_grouped_derive_jit(
+                    index, qd, vd, gp, qcut, 32, gc, wc, ctx.zero_region)
+            _sync(out)
+            dt = (time.time() - t0) / 4
+            rec = recall_at_k(np.asarray(out[1]), gt)
+            log(f"{label}: {dt*1e3:7.2f} ms  recall@10={rec:.4f} "
+                f"QPS={B/dt:,.0f}")
+            rows.append({"label": label, "csub": 2, "M": 32,
+                         "ms_per_batch": round(dt * 1e3, 2),
+                         "qps": round(B / dt, 1),
+                         "recall_at_10": round(rec, 4)})
+            _write(rows, meta)
+
+        run_m32(gp_base, 13, "m32_hier_qc13_p96r64")
+        run_m32(dataclasses.replace(gp_base, pool_dtype="bf16",
+                                    dedup_mode="post"), 13,
+                "m32_pdt_ddpost_qc13_p96r64")
 
     if "knn" in fams and knn_np is not None:
         # ---- knn_top economics (ask #5) ----
