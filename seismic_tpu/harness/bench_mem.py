@@ -234,7 +234,7 @@ def run_block(args):
             # a recall>=0.97 rung on the production lean path; recall is
             # pool-bound here — qc barely moves it — so deep pools at the
             # cheap qcuts only)
-            ladder += [(96, 24, E), (128, 32, E)]
+            ladder += [(96, 24, E), (128, 32, E), (192, 48, E)]
         for pool, ppp, Ee in ladder:
             if (qcut, pool, Ee) in done:
                 log(f"qc{qcut}/p{pool}/E{Ee}: skipped (already measured)")
