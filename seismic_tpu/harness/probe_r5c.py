@@ -281,6 +281,59 @@ def main():
                                      rescore=384), 16,
                  "i8_knn16top4_pdt_ddpost_qc16_p512r384")
 
+    if "b4k" in fams:
+        # batch amortization at 1M: every prior 1M rung ran B=2048 M=8;
+        # B=16384 bought +7% at 100K (probe r3d). 4096 DISTINCT queries
+        # (seeds continue the bench stream, so rows 0-2047 match the
+        # cached GT); timing at B=4096, recall on the GT'd half.
+        bench.N_QUERIES = 4096  # module global read by get_queries
+        q4, v4 = bench.get_queries(bench.DIM)
+        assert np.array_equal(q4[:2048], qn), "query stream mismatch"
+        q4d = jnp.asarray(q4, jnp.int32)
+        v4d = jnp.asarray(v4, jnp.float32)
+        lev = dataclasses.replace(base, pool_dtype="bf16", knn_top=4,
+                                  dedup_mode="post")
+
+        def run4k(gp, qcut, label, reps=4):
+            if label in done:
+                log(f"{label}: skipped (already measured)")
+                return
+            jax.clear_caches()
+            gc, wc = plan_caps(q4, v4, ctx, qcut, M=M)
+            out = search_grouped_derive_jit(
+                index, q4d, v4d, gp, qcut, M, gc, wc, ctx.zero_region)
+            _sync(out)
+            t0 = time.time()
+            for _ in range(reps):
+                out = search_grouped_derive_jit(
+                    index, q4d, v4d, gp, qcut, M, gc, wc, ctx.zero_region)
+            _sync(out)
+            dt = (time.time() - t0) / reps
+            rec = recall_at_k(np.asarray(out[1])[:2048], gt)
+            log(f"{label}: {dt*1e3:7.2f} ms  recall@10={rec:.4f} "
+                f"QPS={4096/dt:,.0f}")
+            rows.append({"label": label, "W": W, "batch": 4096,
+                         "query_cut": qcut, "pool": gp.pool,
+                         "rescore": gp.rescore, "n_knn": gp.n_knn,
+                         "knn_top": gp.knn_top,
+                         "dedup_mode": gp.dedup_mode,
+                         "ms_per_batch": round(dt * 1e3, 2),
+                         "qps": round(4096 / dt, 1),
+                         "recall_at_10": round(rec, 4)})
+            _write_rungs(rows, meta)
+
+        for gp, qcut, lbl in (
+            (lev, 16, "b4k_knn8top4_pdt_ddpost_qc16_p512r256"),
+            (dataclasses.replace(lev, rescore=384), 16,
+             "b4k_knn8top4_pdt_ddpost_qc16_p512r384"),
+            (dataclasses.replace(lev, rescore=384), 18,
+             "b4k_knn8top4_pdt_ddpost_qc18_p512r384"),
+        ):
+            try:
+                run4k(gp, qcut, lbl)
+            except Exception as e:  # noqa: BLE001
+                log(f"{lbl}: FAILED {type(e).__name__}: {e}")
+
     best = max((r for r in rows if isinstance(r.get("recall_at_10"),
                                               float)),
                key=lambda r: (r["recall_at_10"] >= BAR_RECALL,
