@@ -322,12 +322,16 @@ def main():
                          "recall_at_10": round(rec, 4)})
             _write_rungs(rows, meta)
 
+        # rescore=384 programs crash the remote compile helper at the
+        # 14.93GB W=1024 point (r5c_deep: HTTP 500 on both r384 rungs —
+        # scratch headroom is ~1GB); the compliant recipe is qc20
+        # p512/r256 (0.9706 @ 16.0K at B=2048). B=4096 amortizes the
+        # per-batch stages for the missing QPS.
         for gp, qcut, lbl in (
+            (lev, 20, "b4k_knn8top4_pdt_ddpost_qc20_p512r256"),
             (lev, 16, "b4k_knn8top4_pdt_ddpost_qc16_p512r256"),
-            (dataclasses.replace(lev, rescore=384), 16,
-             "b4k_knn8top4_pdt_ddpost_qc16_p512r384"),
-            (dataclasses.replace(lev, rescore=384), 18,
-             "b4k_knn8top4_pdt_ddpost_qc18_p512r384"),
+            (dataclasses.replace(lev, pool=256, rescore=256), 20,
+             "b4k_knn8top4_pdt_ddpost_qc20_p256r256"),
         ):
             try:
                 run4k(gp, qcut, lbl)
