@@ -29,7 +29,8 @@ value is pool_dtype (halves the wall + scratch).
 Writes SCALE_BENCH.json rungs_r5_bar (incremental; done labels skip).
 
 Usage: python -m seismic_tpu.harness.probe_r5c [width] [family ...]
-  families: lever deep bar stage   (default: lever deep)
+  families: lever deep bar stage b4k lean16 b4kf  (default: lever deep)
+  lean16/b4kf need R5C_FWD16=1 (half-width packed forward twin).
   needs the c1m cache (.bench_cache/index_1000000_* + gt + knn16).
 """
 from __future__ import annotations
@@ -131,7 +132,12 @@ def main():
               "block_sketch", "block_sketch_scale", "doc_sketch",
               "doc_sketch_scale"):
         setattr(arrays, f, None)
-    index = arrays.to_device(pallas_tiles=True, tile_csub=bench.CSUB)
+    # R5C_FWD16=1: half-width packed forward twin (comp i16 | f16 value
+    # per i32 word) — frees ~1 GB at the W=1024 point and halves the
+    # rescore gather temps, the round-5 compile-wall lever
+    fwd16 = os.environ.get("R5C_FWD16", "0") == "1"
+    index = arrays.to_device(pallas_tiles=True, tile_csub=bench.CSUB,
+                             fwd_f16=fwd16)
     ctx = PlannerContext.from_arrays(arrays, csub=bench.CSUB)
     _sync(index.doc_tiles_aligned)
     hbm = int(sum(x.nbytes for x in jax.tree.leaves(index)
@@ -152,6 +158,8 @@ def main():
     rows = _load_rows()
     done = {r.get("label") for r in rows}
     meta = {"W": W, "batch": B, "M": M, "device_bytes": hbm}
+    if fwd16:
+        meta["device_bytes_fwd16"] = hbm
     caps = {}
 
     def run(gp, qcut, label, reps=4, stage=False):
@@ -185,6 +193,7 @@ def main():
                "compute_dtype": gp.compute_dtype,
                "pool_dtype": gp.pool_dtype, "n_knn": gp.n_knn,
                "knn_top": gp.knn_top, "dedup_mode": gp.dedup_mode,
+               "fwd_f16": fwd16, "rescore_chunk": gp.rescore_chunk,
                "ms_per_batch": round(dt * 1e3, 2),
                "qps": round(B / dt, 1), "recall_at_10": round(rec, 4)}
         if stage:
@@ -281,7 +290,26 @@ def main():
                                      rescore=384), 16,
                  "i8_knn16top4_pdt_ddpost_qc16_p512r384")
 
-    if "b4k" in fams:
+    if "lean16" in fams:
+        # fused16 forward (R5C_FWD16=1 required): ~1 GB HBM back + half
+        # the rescore gather temps -> the r384 deep-rescore programs that
+        # crashed the remote compile helper (r5c_deep) should now compile.
+        # rescore_chunk=128 bounds the gather temps further.
+        assert fwd16, "run family lean16 with R5C_FWD16=1"
+        lev = dataclasses.replace(base, pool_dtype="bf16", knn_top=4,
+                                  dedup_mode="post")
+        # sanity: the compliant qc20 recipe on the fused16 index
+        safe(lev, 20, "f16_knn8top4_pdt_ddpost_qc20_p512r256")
+        # the recall lever that was compile-blocked: rescore depth
+        safe(dataclasses.replace(lev, rescore=384, rescore_chunk=128),
+             16, "f16_knn8top4_pdt_ddpost_qc16_p512r384c128")
+        safe(dataclasses.replace(lev, rescore=384, rescore_chunk=128),
+             20, "f16_knn8top4_pdt_ddpost_qc20_p512r384c128")
+        safe(dataclasses.replace(lev, n_knn=16, rescore=384,
+                                 rescore_chunk=128), 16,
+             "f16_knn16top4_pdt_ddpost_qc16_p512r384c128")
+
+    if fams & {"b4k", "b4kf"}:
         # batch amortization at 1M: every prior 1M rung ran B=2048 M=8;
         # B=16384 bought +7% at 100K (probe r3d). 4096 DISTINCT queries
         # (seeds continue the bench stream, so rows 0-2047 match the
@@ -294,49 +322,77 @@ def main():
         lev = dataclasses.replace(base, pool_dtype="bf16", knn_top=4,
                                   dedup_mode="post")
 
-        def run4k(gp, qcut, label, reps=4):
+        def run4k(gp, qcut, label, reps=4, M4=M):
             if label in done:
                 log(f"{label}: skipped (already measured)")
                 return
             jax.clear_caches()
-            gc, wc = plan_caps(q4, v4, ctx, qcut, M=M)
+            gc, wc = plan_caps(q4, v4, ctx, qcut, M=M4)
             out = search_grouped_derive_jit(
-                index, q4d, v4d, gp, qcut, M, gc, wc, ctx.zero_region)
+                index, q4d, v4d, gp, qcut, M4, gc, wc, ctx.zero_region)
             _sync(out)
             t0 = time.time()
             for _ in range(reps):
                 out = search_grouped_derive_jit(
-                    index, q4d, v4d, gp, qcut, M, gc, wc, ctx.zero_region)
+                    index, q4d, v4d, gp, qcut, M4, gc, wc,
+                    ctx.zero_region)
             _sync(out)
             dt = (time.time() - t0) / reps
             rec = recall_at_k(np.asarray(out[1])[:2048], gt)
             log(f"{label}: {dt*1e3:7.2f} ms  recall@10={rec:.4f} "
                 f"QPS={4096/dt:,.0f}")
             rows.append({"label": label, "W": W, "batch": 4096,
-                         "query_cut": qcut, "pool": gp.pool,
+                         "M": M4, "query_cut": qcut, "pool": gp.pool,
                          "rescore": gp.rescore, "n_knn": gp.n_knn,
                          "knn_top": gp.knn_top,
                          "dedup_mode": gp.dedup_mode,
+                         "fwd_f16": fwd16,
+                         "rescore_chunk": gp.rescore_chunk,
                          "ms_per_batch": round(dt * 1e3, 2),
                          "qps": round(4096 / dt, 1),
                          "recall_at_10": round(rec, 4)})
             _write_rungs(rows, meta)
 
-        # rescore=384 programs crash the remote compile helper at the
-        # 14.93GB W=1024 point (r5c_deep: HTTP 500 on both r384 rungs —
-        # scratch headroom is ~1GB); the compliant recipe is qc20
-        # p512/r256 (0.9706 @ 16.0K at B=2048). B=4096 amortizes the
-        # per-batch stages for the missing QPS.
-        for gp, qcut, lbl in (
-            (lev, 20, "b4k_knn8top4_pdt_ddpost_qc20_p512r256"),
-            (lev, 16, "b4k_knn8top4_pdt_ddpost_qc16_p512r256"),
-            (dataclasses.replace(lev, pool=256, rescore=256), 20,
-             "b4k_knn8top4_pdt_ddpost_qc20_p256r256"),
-        ):
-            try:
-                run4k(gp, qcut, lbl)
-            except Exception as e:  # noqa: BLE001
-                log(f"{lbl}: FAILED {type(e).__name__}: {e}")
+        if "b4k" in fams:
+            # rescore=384 programs crash the remote compile helper at the
+            # 14.93GB W=1024 point (r5c_deep: HTTP 500 on both r384 rungs
+            # — scratch headroom is ~1GB); the compliant recipe is qc20
+            # p512/r256 (0.9706 @ 16.0K at B=2048). B=4096 amortizes the
+            # per-batch stages for the missing QPS. (MEASURED: every
+            # B=4096 program ALSO crashed the helper at 14.93GB — see
+            # b4kf, the fused16 retry.)
+            for gp, qcut, lbl in (
+                (lev, 20, "b4k_knn8top4_pdt_ddpost_qc20_p512r256"),
+                (lev, 16, "b4k_knn8top4_pdt_ddpost_qc16_p512r256"),
+                (dataclasses.replace(lev, pool=256, rescore=256), 20,
+                 "b4k_knn8top4_pdt_ddpost_qc20_p256r256"),
+            ):
+                try:
+                    run4k(gp, qcut, lbl)
+                except Exception as e:  # noqa: BLE001
+                    log(f"{lbl}: FAILED {type(e).__name__}: {e}")
+
+        if "b4kf" in fams:
+            # B=4096 retry on the fused16 index (~1 GB freed) with
+            # chunked rescore (bounded gather temps): the two compile-
+            # wall levers together. M=16 variants probe group fill at
+            # the bigger batch (hot lists stream once per 16 queries —
+            # +12% at 100K B=16384, probe_r4a).
+            assert fwd16, "run family b4kf with R5C_FWD16=1"
+            levc = dataclasses.replace(lev, rescore_chunk=128)
+            for gp, qcut, lbl, m4 in (
+                (levc, 20, "b4kf_knn8top4_pdt_ddpost_qc20_p512r256", 8),
+                (levc, 20, "b4kf_m16_knn8top4_pdt_ddpost_qc20_p512r256",
+                 16),
+                (dataclasses.replace(levc, rescore=384), 16,
+                 "b4kf_m16_knn8top4_pdt_ddpost_qc16_p512r384c128", 16),
+                (dataclasses.replace(levc, rescore=384), 20,
+                 "b4kf_m16_knn8top4_pdt_ddpost_qc20_p512r384c128", 16),
+            ):
+                try:
+                    run4k(gp, qcut, lbl, M4=m4)
+                except Exception as e:  # noqa: BLE001
+                    log(f"{lbl}: FAILED {type(e).__name__}: {e}")
 
     best = max((r for r in rows if isinstance(r.get("recall_at_10"),
                                               float)),

@@ -84,6 +84,8 @@ for s in $STAGES; do
     r5c_deep)  run_stage r5c_deep  6000 python -m seismic_tpu.harness.probe_r5c 1024 deep ;;
     r5c_bar)   run_stage r5c_bar   6000 python -m seismic_tpu.harness.probe_r5c 1024 bar ;;
     r5c_b4k)   run_stage r5c_b4k   6000 python -m seismic_tpu.harness.probe_r5c 1024 b4k ;;
+    r5c_lean16) run_stage r5c_lean16 6000 env R5C_FWD16=1 python -m seismic_tpu.harness.probe_r5c 1024 lean16 ;;
+    r5c_b4kf)  run_stage r5c_b4kf  6000 env R5C_FWD16=1 python -m seismic_tpu.harness.probe_r5c 1024 b4kf ;;
     shard) run_stage shard 7200 python -m seismic_tpu.harness.bench_sharded --grouped ;;
     bench) run_stage bench 5400 python bench.py ;;
     *)     log "unknown stage $s" ;;

@@ -82,11 +82,20 @@ def score_docs_rowmajor_pallas(
 
 
 def rescore_exact(index, doc_ids, top_c, top_v, sc: int,
-                  interpret: bool = False):
+                  interpret: bool = False, chunk_r: int = 0):
     """Exact scores of `doc_ids` [B, R] against each row's query terms
     (top_c/top_v [B, >=sc]). Gathers forward rows (wide-row gather: HBM
     speed), decodes values, and runs the compare kernel. Returns f32
-    [B, R]."""
+    [B, R].
+
+    `chunk_r > 0` scores R in sequential column chunks (lax.map = scan):
+    only one [B*chunk_r, W] forward gather is live at a time. The gather
+    itself is row-count-bound so chunking costs ~nothing, but it bounds
+    the stage's HLO temps — at the 1M W=1024 point (14.93 GB index on a
+    16 GB chip) unchunked rescore>=384 or B=4096 programs outgrow the
+    scratch headroom and fail to compile (round-5 r5c_deep/b4k: remote-
+    compile HTTP 500 on every such program)."""
+    import jax
     import jax.numpy as jnp
 
     from ..data.sparse import PAD_COMPONENT
@@ -94,9 +103,34 @@ def rescore_exact(index, doc_ids, top_c, top_v, sc: int,
 
     B, R = doc_ids.shape
     n_docs = index.n_docs
+    if 0 < chunk_r < R:
+        nch = -(-R // chunk_r)
+        ids_p = doc_ids
+        if nch * chunk_r > R:
+            ids_p = jnp.pad(doc_ids, ((0, 0), (0, nch * chunk_r - R)),
+                            constant_values=n_docs)
+        chunks = jnp.moveaxis(ids_p.reshape(B, nch, chunk_r), 1, 0)
+        out = jax.lax.map(
+            lambda c: rescore_exact(index, c, top_c, top_v, sc,
+                                    interpret=interpret),
+            chunks,
+        )
+        return jnp.moveaxis(out, 0, 1).reshape(B, nch * chunk_r)[:, :R]
     safe = jnp.clip(doc_ids, 0, n_docs - 1)
     flat = safe.reshape(B * R)
-    if getattr(index, "fwd_fused", None) is not None:
+    if getattr(index, "fwd_fused16", None) is not None:
+        # half-width fused tile: (comp i16 << 16) | f16-bit value per i32
+        # word (types.py to_device(fwd_f16=True)); arithmetic shift keeps
+        # the -1 pad, pad value bits are +0.0 by construction
+        packed = index.fwd_fused16[flat]  # i32 [B*R, W]
+        comps = jax.lax.shift_right_arithmetic(packed, 16).astype(
+            jnp.int16
+        )
+        vals = jax.lax.bitcast_convert_type(
+            (packed & 0xFFFF).astype(jnp.uint16), jnp.float16
+        ).astype(jnp.float32)
+        vals = _decode_fwd_vals(index, vals, comps >= 0, flat)
+    elif getattr(index, "fwd_fused", None) is not None:
         # one fused [B*R, 2W] gather instead of two: this stage is bound
         # by gathered-row count (~50 ns/row, byte width immaterial —
         # probe_r3b), so halving the row count halves the stage
@@ -118,7 +152,8 @@ def rescore_exact(index, doc_ids, top_c, top_v, sc: int,
     else:
         comps = index.fwd_comps[flat].astype(jnp.int32)  # [B*R, W]
         comps_mask_src = comps != PAD_COMPONENT
-    if getattr(index, "fwd_fused", None) is None:
+    if (getattr(index, "fwd_fused", None) is None
+            and getattr(index, "fwd_fused16", None) is None):
         vals = _decode_fwd_vals(
             index, index.fwd_vals[flat], comps_mask_src, flat
         )  # f32 [B*R, W]

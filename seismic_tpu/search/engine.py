@@ -188,7 +188,19 @@ def _exact_scores(index: DeviceIndex, qd, doc_ids, chunk: int = 1024):
 
 
 def _exact_scores_block(index: DeviceIndex, qd, doc_ids):
-    if getattr(index, "fwd_fused", None) is not None:
+    if getattr(index, "fwd_fused16", None) is not None:
+        # half-width fused tile: (comp i16 << 16) | f16-bit value per
+        # i32 word (to_device(fwd_f16=True)); pad decodes to -1 / +0.0
+        packed = index.fwd_fused16[doc_ids]  # i32 [B, N, W]
+        tiles_comps = jax.lax.shift_right_arithmetic(packed, 16)
+        tiles_vals = _decode_fwd_vals(
+            index,
+            jax.lax.bitcast_convert_type(
+                (packed & 0xFFFF).astype(jnp.uint16), jnp.float16
+            ).astype(jnp.float32),
+            tiles_comps >= 0, doc_ids,
+        )
+    elif getattr(index, "fwd_fused", None) is not None:
         # fused [n_docs, 2W] tile: one row gather (the fused layout
         # supersedes fwd_comps/fwd_vals on device to save HBM)
         fused = index.fwd_fused[doc_ids]  # i32 [B, N, 2W]

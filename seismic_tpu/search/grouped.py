@@ -1176,7 +1176,8 @@ def _grouped_tail(
                 return t2, ids2
             approx2 = t2
             exact = rescore_exact(index, ids2, top_c, top_v, sc,
-                                  interpret=interpret)
+                                  interpret=interpret,
+                                  chunk_r=params.rescore_chunk)
             t2 = jnp.where(jnp.isfinite(t2), exact, -jnp.inf)
             t2, ids2 = _dedup_by_id(t2, ids2, n_docs)
         else:
@@ -1189,7 +1190,8 @@ def _grouped_tail(
                 return t2, ids2
             approx2 = t2
             exact = rescore_exact(index, ids2, top_c, top_v, sc,
-                                  interpret=interpret)
+                                  interpret=interpret,
+                                  chunk_r=params.rescore_chunk)
             t2 = jnp.where(jnp.isfinite(t2), exact, -jnp.inf)
         out_scores, opos = jax.lax.top_k(t2, k)
         out_ids = jnp.take_along_axis(ids2, opos, axis=1)
@@ -1297,25 +1299,11 @@ def _block_expand_tail(
     pidx = jnp.clip(bs[:, :, None] + j, 0, index.postings.shape[0] - 1)
     ids = jnp.take(index.postings, pidx)  # [B, P, E]
     ids = jnp.where(valid, ids, n_docs).reshape(B, P * E)
-    R = P * E
-    C = params.rescore_chunk
-    if 0 < C < R:
-        # sequential column chunks (lax.map = scan): one [B*C, W] forward
-        # gather live at a time, so deep block pools fit HBM
-        nch = -(-R // C)
-        ids_p = (ids if nch * C == R else
-                 jnp.pad(ids, ((0, 0), (0, nch * C - R)),
-                         constant_values=n_docs))
-        chunks = jnp.moveaxis(ids_p.reshape(B, nch, C), 1, 0)
-        exact = jax.lax.map(
-            lambda c: rescore_exact(index, c, top_c, top_v, sc,
-                                    interpret=interpret),
-            chunks,
-        )
-        exact = jnp.moveaxis(exact, 0, 1).reshape(B, nch * C)[:, :R]
-    else:
-        exact = rescore_exact(index, ids, top_c, top_v, sc,
-                              interpret=interpret)
+    # sequential column chunks (lax.map = scan) inside rescore_exact: one
+    # [B*C, W] forward gather live at a time, so deep block pools fit HBM
+    exact = rescore_exact(index, ids, top_c, top_v, sc,
+                          interpret=interpret,
+                          chunk_r=params.rescore_chunk)
     exact = jnp.where(ids < n_docs, exact, -jnp.inf)
     # duplicates carry EQUAL exact scores, so the top-`dd` raw entries
     # contain the true top-k unless > dd - k duplicates outrank it; dd

@@ -348,7 +348,8 @@ class IndexArrays:
                   _aligned=None,
                   vocab_residue: int = 0,
                   tile_hash: int = 0,
-                  lean_fwd: bool = False):
+                  lean_fwd: bool = False,
+                  fwd_f16: bool = False):
         """Upload all arrays to a device, returning a DeviceIndex pytree.
 
         With pallas_tiles=True (and doc tiles present) additionally builds
@@ -411,18 +412,43 @@ class IndexArrays:
                     # fwd_comps are NOT served by a lean index.
                     skip |= {"fwd_comps"}
         if fuse_fwd:
-            # fused forward tile: comps and f32-bit values interleaved in
-            # ONE [n_docs, 2W] int32 array. The rescore gather is bound by
-            # gathered-ROW count (~50 ns/row on this device, byte width
-            # immaterial: f16 values measured no faster), so one fused
-            # gather halves the dominant rescore cost (probe_r3b). It
-            # SUPERSEDES fwd_comps/fwd_vals/fwd_comps16 on device (all
-            # row-gather consumers read it), saving 10 bytes/slot of HBM.
             fc = np.asarray(self.fwd_comps, dtype=np.int32)
             fv = np.asarray(self.fwd_vals, dtype=np.float32)
-            extra["fwd_fused"] = put(
-                np.concatenate([fc, fv.view(np.int32)], axis=1)
-            )
+            if fwd_f16 and self.dim <= 32766:
+                # HALF-width fused forward tile: each slot packs
+                # (comp int16 << 16) | f16-bit value into ONE int32 word,
+                # so the [n_docs, W] array is HALF the [n_docs, 2W] fused
+                # tile's bytes. Two wins at the 1M W=1024 operating point
+                # (the index is 14.93 GB of a 16 GB chip, round 5): ~1 GB
+                # of HBM back, and the rescore gather's [B*R, W] HLO temp
+                # halves — deep-rescore programs stopped compiling there
+                # (remote-compile HTTP 500) because that temp outgrew the
+                # scratch headroom. Values round f32 -> f16 (~5e-4 rel),
+                # the reference's own headline forward-index precision
+                # (src/pylib/mod.rs:27-28 stores f16). Pad slots decode to
+                # comp=-1 (arithmetic shift) / value=+0.0.
+                comp16 = np.where(fc == PAD_COMPONENT, -1, fc).astype(
+                    np.int16
+                )
+                val16 = fv.astype(np.float16)
+                val16[comp16 < 0] = np.float16(0.0)
+                extra["fwd_fused16"] = put(
+                    (comp16.astype(np.int32) << 16)
+                    | val16.view(np.uint16).astype(np.int32)
+                )
+            else:
+                # fused forward tile: comps and f32-bit values interleaved
+                # in ONE [n_docs, 2W] int32 array. The rescore gather is
+                # bound by gathered-ROW count (~50 ns/row on this device,
+                # byte width immaterial: f16 values measured no faster),
+                # so one fused gather halves the dominant rescore cost
+                # (probe_r3b).
+                extra["fwd_fused"] = put(
+                    np.concatenate([fc, fv.view(np.int32)], axis=1)
+                )
+            # the fused layout SUPERSEDES fwd_comps/fwd_vals/fwd_comps16
+            # on device (all row-gather consumers read it), saving 10-12
+            # bytes/slot of HBM
             skip |= {"fwd_comps", "fwd_vals"}
         if (self.doc_tile_scale is not None
                 and self.list_post_start is not None):
@@ -561,6 +587,10 @@ class DeviceIndex:
     # rescore gather is bound by gathered-row COUNT on this device, so one
     # fused gather replaces the separate comps+vals gathers (probe_r3b)
     fwd_fused: object = None
+    # half-width fused forward tile [n_docs, W] int32: (comp i16 << 16) |
+    # f16-bit value per slot (to_device(fwd_f16=True)); halves forward
+    # HBM and the rescore gather's temps at ~5e-4 relative value rounding
+    fwd_fused16: object = None
     # vocab-rank metadata mirrors (host-side only; kept off device —
     # narrow_vocab consumes them at derive time)
     vocab_rank: object = None

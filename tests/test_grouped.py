@@ -291,6 +291,49 @@ def test_grouped_rescore_dedup_post(setup):
     assert _recall(ids, gt_i) > 0.5
 
 
+def test_grouped_fwd_f16_fused_and_chunked_rescore(setup):
+    """to_device(fwd_f16=True) packs (comp i16 | f16 value) into one i32
+    word per forward slot — half the fused tile's HBM (the 1M-bar lever,
+    round 5). Scores must match the exact oracle within f16 value
+    rounding, and rescore_chunk (sequential column chunks bounding the
+    gather temps) must not change results at all."""
+    ds, arrays, ctx, q_comps, q_vals, gt_i = setup
+    dev16 = arrays.to_device(pallas_tiles=True, fwd_f16=True)
+    assert dev16.fwd_fused16 is not None
+    assert dev16.fwd_fused is None
+    assert dev16.fwd_comps is None and dev16.fwd_vals is None
+    W = np.asarray(arrays.fwd_comps).shape[1]
+    assert dev16.fwd_fused16.shape == (len(ds), W)
+
+    params = GroupedParams(k=10, score_cut=64, pool=128, rescore=48,
+                           compute_dtype="i8")
+    s1, i1 = search_grouped(dev16, ctx, q_comps, q_vals, params,
+                            query_cut=10)
+    s_gt, i_gt = exact_search_numpy(ds, q_comps, q_vals, k=50)
+    exact_of = [
+        {int(i): float(s) for s, i in zip(srow, irow)}
+        for srow, irow in zip(s_gt, i_gt)
+    ]
+    checked = 0
+    for b in range(len(i1)):
+        for s, d in zip(s1[b], i1[b]):
+            if d >= 0 and int(d) in exact_of[b]:
+                ref = exact_of[b][int(d)]
+                assert abs(float(s) - ref) < 5e-3 + 2e-3 * abs(ref)
+                checked += 1
+    assert checked > len(i1) * 5
+    assert _recall(i1, gt_i) > 0.5
+
+    # chunking only re-batches the gather: results are identical
+    pc = dataclasses.replace(params, rescore_chunk=16)
+    s2, i2 = search_grouped(dev16, ctx, q_comps, q_vals, pc,
+                            query_cut=10)
+    assert np.array_equal(np.asarray(i1), np.asarray(i2))
+    f = np.isfinite(np.asarray(s1))
+    assert np.allclose(np.asarray(s1)[f], np.asarray(s2)[f],
+                       rtol=1e-6, atol=1e-6)
+
+
 @pytest.mark.slow
 def test_grouped_csub2_matches_csub1(setup):
     """csub=2 super-tile layout must reproduce csub=1 results exactly
