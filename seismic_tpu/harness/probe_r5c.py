@@ -136,8 +136,13 @@ def main():
     # per i32 word) — frees ~1 GB at the W=1024 point and halves the
     # rescore gather temps, the round-5 compile-wall lever
     fwd16 = os.environ.get("R5C_FWD16", "0") == "1"
+    # on-disk aligned-layout cache: the ~25-30 min single-core gather is
+    # paid once; every fresh-process family after that mmaps it
+    from seismic_tpu.ops_pallas_prep import load_or_build_aligned
+
+    aligned = load_or_build_aligned(arrays, path, bench.CSUB)
     index = arrays.to_device(pallas_tiles=True, tile_csub=bench.CSUB,
-                             fwd_f16=fwd16)
+                             fwd_f16=fwd16, _aligned=aligned)
     ctx = PlannerContext.from_arrays(arrays, csub=bench.CSUB)
     _sync(index.doc_tiles_aligned)
     hbm = int(sum(x.nbytes for x in jax.tree.leaves(index)

@@ -52,3 +52,38 @@ def test_pallas_tile_scorer_matches_xla(rng):
             s : s + ll_pad
         ]
         assert np.allclose(out[p], ref, rtol=1e-4, atol=1e-3)
+
+
+def test_aligned_layout_cache_roundtrip(rng, tmp_path):
+    """load_or_build_aligned must rebuild-then-mmap the exact layout
+    prepare_pallas_tiles returns, and invalidate on a source rewrite."""
+    from seismic_tpu.ops_pallas_prep import (
+        load_or_build_aligned,
+        prepare_pallas_tiles,
+    )
+
+    ds = make_random_dataset(rng, n_docs=250, dim=400, seed=5)
+    cfg = Configuration(layout=TpuLayout(max_block_len=16,
+                                         summary_vocab_cap=128))
+    arrays = build_index(ds, cfg)
+    idx_dir = str(tmp_path / "idx.dir")
+    arrays.save_dir(idx_dir)
+
+    ref = prepare_pallas_tiles(arrays, csub=2)
+    built = load_or_build_aligned(arrays, idx_dir, csub=2)  # builds
+    cached = load_or_build_aligned(arrays, idx_dir, csub=2)  # mmaps
+    assert isinstance(cached[0], np.memmap)
+    for a, b, c in zip(ref[:3], built[:3], cached[:3]):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+        assert np.array_equal(np.asarray(a), np.asarray(c))
+    assert ref[3] is None and built[3] is None and cached[3] is None
+
+    # a rewritten source index invalidates the cache
+    import os
+    import time as _t
+
+    probe = os.path.join(idx_dir, os.listdir(idx_dir)[0])
+    _t.sleep(0.02)
+    os.utime(probe, None)
+    rebuilt = load_or_build_aligned(arrays, idx_dir, csub=2)
+    assert not isinstance(rebuilt[0], np.memmap)
