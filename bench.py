@@ -93,6 +93,11 @@ POOL_DTYPE = os.environ.get("BENCH_POOL_DTYPE", "f32")
 DEDUP_MODE = os.environ.get("BENCH_DEDUP_MODE", "pre")
 KNN_TOP = int(os.environ.get("BENCH_KNN_TOP", 0))
 POOL_RECALL = float(os.environ.get("BENCH_POOL_RECALL", 0.98))
+# fwd16: half-width packed forward twin (comp i16 | f16-bit value per
+# i32 word) — halves forward HBM + rescore gather temps (the 1M compile
+# wall); rescore_chunk bounds the gather's live temps (0 = unchunked)
+FWD16 = os.environ.get("BENCH_FWD16", "0") == "1"
+RESCORE_CHUNK = int(os.environ.get("BENCH_RESCORE_CHUNK", 0))
 
 # Narrowing only actually applies on the topv path below V_CAP — key the
 # ladder on the SAME condition (round-3 advisor finding: hash/block modes
@@ -447,7 +452,7 @@ def main():
         tile_hash = HASH_V
     t0 = time.time()
     index = arrays.to_device(pallas_tiles=True, tile_csub=CSUB,
-                             tile_hash=tile_hash)
+                             tile_hash=tile_hash, fwd_f16=FWD16)
     ctx = PlannerContext.from_arrays(arrays, csub=CSUB)
     log(f"to_device+ctx: {time.time()-t0:.1f}s")
 
@@ -484,14 +489,16 @@ def main():
                                  pool_dtype=POOL_DTYPE,
                                  dedup_mode=DEDUP_MODE,
                                  knn_top=KNN_TOP if n_knn else 0,
-                                 pool_recall=POOL_RECALL)
+                                 pool_recall=POOL_RECALL,
+                                 rescore_chunk=RESCORE_CHUNK)
         return GroupedParams(k=K, score_cut=64, pool=pool, rescore=rescore,
                              compute_dtype="i8", pool_mode=POOL_MODE,
                              pool_per_pair=16 if POOL_MODE == "hier" else 0,
                              kernel_unroll=8, n_knn=n_knn,
                              pool_dtype=POOL_DTYPE, dedup_mode=DEDUP_MODE,
                              knn_top=KNN_TOP if n_knn else 0,
-                             pool_recall=POOL_RECALL)
+                             pool_recall=POOL_RECALL,
+                             rescore_chunk=RESCORE_CHUNK)
 
     n_batches = max(1, N_QUERIES // BATCH)
 
