@@ -155,6 +155,22 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def enable_compile_cache():
+    """Persistent XLA compile cache (shared with tests/__graft_entry__):
+    a validation run earlier in the session warm-starts the driver's
+    ladder compiles. Best-effort — some backends can't serialize."""
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           os.path.join(ROOT, ".jax_cache")))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 - cache is best-effort
+        pass
+
+
 def get_dataset():
     from seismic_tpu.data.sparse import CsrDataset
     from seismic_tpu.harness.synth import synth_dataset
@@ -355,6 +371,7 @@ def main():
     # jax.devices() hangs machine-wide when the tunnel is down)
     if os.environ.get("BENCH_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+    enable_compile_cache()
     import jax.numpy as jnp
 
     log(f"devices: {jax.devices()}")

@@ -117,6 +117,13 @@ def run_block(args):
     import jax
     import jax.numpy as jnp
 
+    try:  # persistent compile cache (best-effort, shared .jax_cache/)
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(ROOT, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001
+        pass
+
     from ..ops.pallas_tiles import block_pool_arrays
     from ..search.engine import pad_queries
     from ..search.grouped import (
@@ -311,6 +318,13 @@ def main():
 
     import jax
     import jax.numpy as jnp
+
+    try:  # persistent compile cache (best-effort, shared .jax_cache/)
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(ROOT, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001
+        pass
 
     from ..search.engine import SearchParams, pad_queries, search_batch_jit
     from ..harness.synth import synth_queries

@@ -79,6 +79,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    bench.enable_compile_cache()
+
     from seismic_tpu.ops.pallas_tiles import narrow_vocab
     from seismic_tpu.search import knn as knn_mod
     from seismic_tpu.search.grouped import (

@@ -97,6 +97,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    bench.enable_compile_cache()
+
     from seismic_tpu.search import knn as knn_mod
     from seismic_tpu.search.grouped import (
         GroupedParams,
