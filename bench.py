@@ -86,11 +86,14 @@ M_BIG = int(os.environ.get("BENCH_M_BIG", 16))
 # exact f32); dedup_mode="post" skips the pool-wide variadic sort;
 # knn_top=m refines only the top-m heap entries' neighbors (reference
 # Knn::refine economics, src/inverted_index.rs:551-593); pool_recall is
-# approx_max_k's recall_target (PartialReduce keep-count knob). Defaults
-# stay at the measured round-4 point until the r5 probes certify each
-# lever recall-neutral at the headline rung.
-POOL_DTYPE = os.environ.get("BENCH_POOL_DTYPE", "f32")
-DEDUP_MODE = os.environ.get("BENCH_DEDUP_MODE", "pre")
+# approx_max_k's recall_target (PartialReduce keep-count knob).
+# Defaults flipped after TPU certification (BENCH_STAGE_r5.json, B=16384
+# M16): pool_dtype=bf16 is recall-NEUTRAL at 100K (0.9700 vs 0.9701) and
+# 1M (0.9692 unchanged); dedup_mode=post costs 0.08pt but -8ms, and the
+# first-compliant-rung ladder absorbs it (pdt_ddpost_qc14 = 97.8K @
+# 0.9709 vs pdt-only qc13 = 95.6K @ 0.9700).
+POOL_DTYPE = os.environ.get("BENCH_POOL_DTYPE", "bf16")
+DEDUP_MODE = os.environ.get("BENCH_DEDUP_MODE", "post")
 KNN_TOP = int(os.environ.get("BENCH_KNN_TOP", 0))
 POOL_RECALL = float(os.environ.get("BENCH_POOL_RECALL", 0.98))
 # fwd16: half-width packed forward twin (comp i16 | f16-bit value per
@@ -417,6 +420,9 @@ def main():
             arrays.save_dir(ndir)
             log(f"narrow_vocab(V0={NARROW_V}): {time.time()-t0:.1f}s "
                 f"-> {ndir}")
+        arrays_dir = ndir
+    else:
+        arrays_dir = index_base + ".dir" if TILE_MODE == "topv" else None
 
     # space is reported for the index actually served (incl. narrowing)
     space = arrays.space_usage_report()
@@ -468,8 +474,17 @@ def main():
             log(f"hash_retile: {time.time()-t0:.1f}s")
         tile_hash = HASH_V
     t0 = time.time()
+    # topv path: mmap the aligned tile layout from the on-disk cache
+    # instead of re-running the ~8-min random-order gather every run
+    # (block/hash modes derive their arrays in-memory — no stable dir
+    # to fingerprint, so they keep the inline gather)
+    aligned = None
+    if arrays_dir is not None and os.path.isdir(arrays_dir):
+        from seismic_tpu.ops_pallas_prep import load_or_build_aligned
+        aligned = load_or_build_aligned(arrays, arrays_dir, CSUB)
     index = arrays.to_device(pallas_tiles=True, tile_csub=CSUB,
-                             tile_hash=tile_hash, fwd_f16=FWD16)
+                             tile_hash=tile_hash, fwd_f16=FWD16,
+                             _aligned=aligned)
     ctx = PlannerContext.from_arrays(arrays, csub=CSUB)
     log(f"to_device+ctx: {time.time()-t0:.1f}s")
 

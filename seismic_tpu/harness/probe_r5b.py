@@ -106,9 +106,11 @@ def main():
     t0 = time.time()
     if os.path.isdir(nw):
         arrays = IndexArrays.load_dir(nw)
+        arrays_dir = nw
     else:
         arrays = narrow_vocab(IndexArrays.load_dir(base + ".dir"),
                               bench.NARROW_V)
+        arrays_dir = None
     for f in ("dense_summary", "dense_scale", "block_sketch",
               "block_sketch_scale", "doc_sketch", "doc_sketch_scale"):
         setattr(arrays, f, None)
@@ -119,7 +121,7 @@ def main():
         f"{'yes' if knn_np is not None else 'no'}")
 
     fams = set(sys.argv[1:]) or {"grid", "grid2", "knn", "2pass", "b1",
-                                 "csub4", "pdt", "m32"}
+                                 "csub4", "pdt", "m32", "seg"}
     B = 16384
     M = 16
     qn, vn = q_comps[:B], q_vals[:B]
@@ -185,7 +187,16 @@ def main():
         return run
 
     t0 = time.time()
-    index = arrays.to_device(pallas_tiles=True, tile_csub=2)
+    # aligned-layout disk cache: the random-order gather over the tile
+    # pool is ~7-8 min of single-core host work at this shape; each
+    # family runs as its own process (OOM isolation), so without the
+    # cache every family repays it (round-5 session-3: 514s per family).
+    aligned = None
+    if arrays_dir is not None:
+        from seismic_tpu.ops_pallas_prep import load_or_build_aligned
+        aligned = load_or_build_aligned(arrays, arrays_dir, 2)
+    index = arrays.to_device(pallas_tiles=True, tile_csub=2,
+                             _aligned=aligned)
     ctx = PlannerContext.from_arrays(arrays, csub=2)
     _sync(index.doc_tiles_aligned)
     if knn_np is not None:
@@ -267,6 +278,34 @@ def main():
         gp = dataclasses.replace(gp_base, pool_dtype="bf16",
                                  dedup_mode="post", pool_recall=0.9)
         run(gp, 14, label="pdt_ddpost_pr90_qc14_p96r64")
+
+    if "seg" in fams:
+        # ---- exact two-level segment pool (round-5 session-4): one max
+        # reduce over the wall + top-`pool` SEGMENTS (provably contains
+        # the exact top-pool rows) + a [B, pool*segw] final top_k —
+        # replaces the 52ms full-wall PartialReduce (hier stage 1). ----
+        for segw in (32, 128):
+            gp = dataclasses.replace(gp_base, pool_mode="seg",
+                                     pool_seg_width=segw,
+                                     pool_dtype="bf16",
+                                     dedup_mode="post")
+            run(gp, 13, label=f"seg{segw}_pdt_ddpost_qc13_p96r64",
+                stage=(segw == 32))
+        # approx final selection (PartialReduce over the gathered rows
+        # instead of the exact sort)
+        gp = dataclasses.replace(gp_base, pool_mode="seg",
+                                 pool_seg_width=32, pool_select="approx",
+                                 pool_dtype="bf16", dedup_mode="post")
+        run(gp, 13, label="seg32a_pdt_ddpost_qc13_p96r64")
+        # the bar rung: qc14 recovers the ddpost 0.08pt
+        gp = dataclasses.replace(gp_base, pool_mode="seg",
+                                 pool_seg_width=32, pool_dtype="bf16",
+                                 dedup_mode="post")
+        run(gp, 14, label="seg32_pdt_ddpost_qc14_p96r64")
+        # without ddpost (the qc13-compliant candidate)
+        gp = dataclasses.replace(gp_base, pool_mode="seg",
+                                 pool_seg_width=32, pool_dtype="bf16")
+        run(gp, 13, label="seg32_pdt_qc13_p96r64")
 
     if "m32" in fams:
         # M=32 plan groups: M=8->16 bought +12% at B=16384 (hot lists'

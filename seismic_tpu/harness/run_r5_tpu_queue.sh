@@ -80,6 +80,7 @@ for s in $STAGES; do
     r5b_csub4) run_stage r5b_csub4 5000 python -m seismic_tpu.harness.probe_r5b csub4 ;;
     r5b_pdt)   run_stage r5b_pdt   5000 python -m seismic_tpu.harness.probe_r5b pdt ;;
     r5b_m32)   run_stage r5b_m32   5000 python -m seismic_tpu.harness.probe_r5b m32 ;;
+    r5b_seg)   run_stage r5b_seg   5000 python -m seismic_tpu.harness.probe_r5b seg ;;
     r5c_lever) run_stage r5c_lever 6000 python -m seismic_tpu.harness.probe_r5c 1024 lever ;;
     r5c_deep)  run_stage r5c_deep  6000 python -m seismic_tpu.harness.probe_r5c 1024 deep ;;
     r5c_bar)   run_stage r5c_bar   6000 python -m seismic_tpu.harness.probe_r5c 1024 bar ;;

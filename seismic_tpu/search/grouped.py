@@ -125,9 +125,20 @@ class GroupedParams:
     # the conflated docs are dissimilar by construction); unwritten
     # output regions stay self-contained and are masked by item start
     # row vs pair list length.
+    # "seg" = exact two-level segment pool: reduce the wall to per-segment
+    # maxima (one cheap max pass over [B, QC*LLMAX/seg_width]), take the
+    # top-`pool` SEGMENTS, gather only those segments' rows and finish
+    # with a small exact top_k. Containment is exact: if a true top-pool
+    # row's segment were excluded, `pool` other segments would each hold a
+    # strictly better row — contradiction — so seg == exact top-pool rows
+    # (unlike "stride"/"window", no conflation loss: all rows of selected
+    # segments survive to the final top_k). Replaces the PartialReduce
+    # over the full wall (the 52ms headline pool stage at B=16384) with
+    # one reduce + a [B, pool*seg_width]-lane top_k.
     pool_mode: str = "approx"
     pool_recall: float = 0.98
     pool_per_pair: int = 12
+    pool_seg_width: int = 32
     pool_window: int = 8
     pool_stride: int = 8
     # final pool selection for the packed modes ("window"/"stride"):
@@ -844,7 +855,8 @@ def _grouped_impl(
     item_major = params.kernel_unroll > 1
     if item_major:
         assert params.compute_dtype == "i8", "kernel_unroll is i8-only"
-        assert params.pool_mode in ("stride", "hier", "approx", "exact"), (
+        assert params.pool_mode in ("stride", "hier", "approx", "exact",
+                                    "seg"), (
             f"kernel_unroll unsupported with pool_mode={params.pool_mode}"
         )
         assert params.stream_frac >= 1.0, (
@@ -1117,7 +1129,33 @@ def _grouped_impl(
         pool = min(pool, QC * t)
         top_scores, p1 = jax.lax.top_k(v1, pool)
         sel = jnp.take_along_axis(gsel, p1, axis=1)
-    elif params.pool_mode == "approx" and pool < QC * LLMAX:
+    elif (params.pool_mode == "seg"
+          and pool * params.pool_seg_width < QC * LLMAX):
+        # exact two-level segment pool (see GroupedParams.pool_mode docs):
+        # the top-`pool` segments by max provably contain the exact
+        # top-`pool` rows, so this equals pool_mode="exact" on unmasked
+        # scores while replacing the full-wall PartialReduce/sort with
+        # one max reduce + a [B, pool] top_k + a [B, pool*segw] top_k.
+        segw = params.pool_seg_width
+        assert (QC * LLMAX) % segw == 0, (QC, LLMAX, segw)
+        nseg = (QC * LLMAX) // segw
+        seg_max = pv.reshape(B, nseg, segw).max(axis=-1)
+        _, seg_sel = jax.lax.top_k(seg_max, pool)  # [B, pool]
+        row_idx = (
+            seg_sel[:, :, None] * segw
+            + jnp.arange(segw, dtype=jnp.int32)[None, None, :]
+        ).reshape(B, pool * segw)
+        rows = jnp.take_along_axis(pv, row_idx, axis=1)
+        if params.pool_select == "approx":
+            # trades the exact-containment guarantee's final sort for a
+            # PartialReduce over the (already pool*segw-wide) gathered rows
+            top_scores, p1 = jax.lax.approx_max_k(
+                rows, pool, recall_target=params.pool_recall
+            )
+        else:
+            top_scores, p1 = jax.lax.top_k(rows, pool)
+        sel = jnp.take_along_axis(row_idx, p1, axis=1)
+    elif params.pool_mode in ("approx", "seg") and pool < QC * LLMAX:
         top_scores, sel = jax.lax.approx_max_k(
             pv, pool, recall_target=params.pool_recall
         )

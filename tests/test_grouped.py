@@ -489,6 +489,33 @@ def test_pool_mode_hier(setup):
     assert _recall(i_h, gt_i) >= _recall(i_e, gt_i) - 0.03
 
 
+def test_pool_mode_seg(setup):
+    """Exact two-level segment pool: the top-`pool` segments by max
+    provably contain the exact top-`pool` rows, so results must EQUAL
+    pool_mode="exact" (same ids and scores, not just recall), for every
+    segment width and with the unrolled item-major kernel."""
+    ds, arrays, ctx, q_comps, q_vals, gt_i = setup
+    dev = arrays.to_device(pallas_tiles=True)
+    base = GroupedParams(k=10, score_cut=64, pool=64, rescore=32,
+                         compute_dtype="i8", pool_mode="exact")
+    s_e, i_e = search_grouped(dev, ctx, q_comps, q_vals, base,
+                              query_cut=10)
+    for segw in (16, 32, 128):
+        seg = dataclasses.replace(base, pool_mode="seg",
+                                  pool_seg_width=segw)
+        s_s, i_s = search_grouped(dev, ctx, q_comps, q_vals, seg,
+                                  query_cut=10)
+        np.testing.assert_array_equal(i_s, i_e, err_msg=f"segw={segw}")
+        np.testing.assert_allclose(s_s, s_e, rtol=1e-6,
+                                   err_msg=f"segw={segw}")
+    # unrolled kernel + bf16 wall (the headline combination)
+    segu = dataclasses.replace(base, pool_mode="seg", pool_seg_width=32,
+                               kernel_unroll=2, pool_dtype="bf16")
+    _, i_u = search_grouped(dev, ctx, q_comps, q_vals, segu,
+                            query_cut=10)
+    assert _recall(i_u, gt_i) >= _recall(i_e, gt_i) - 0.03
+
+
 def test_pool_dtype_bf16(setup):
     """pool_dtype="bf16" halves the regrouped score-wall traffic; only
     pool ORDER can change (near-ties at the boundary), the rescore stays
