@@ -76,6 +76,8 @@ NARROW_V = int(os.environ.get("BENCH_NARROW_V", 512))
 POOL = int(os.environ.get("BENCH_POOL", 64))
 RESCORE = int(os.environ.get("BENCH_RESCORE", 48))
 POOL_MODE = os.environ.get("BENCH_POOL_MODE", "hier")
+# pool_mode="seg" segment width (exact two-level segment pool)
+SEG_W = int(os.environ.get("BENCH_SEG_W", 32))
 # plan group size for the large-batch program: M=16 halves the hot
 # lists' tile streaming once groups fill (probe_r4a: +12% QPS at
 # B=16384, identical recall; round-3 measured M=16 NEGATIVE at B=4096
@@ -526,6 +528,7 @@ def main():
         return GroupedParams(k=K, score_cut=64, pool=pool, rescore=rescore,
                              compute_dtype="i8", pool_mode=POOL_MODE,
                              pool_per_pair=16 if POOL_MODE == "hier" else 0,
+                             pool_seg_width=SEG_W,
                              kernel_unroll=8, n_knn=n_knn,
                              pool_dtype=POOL_DTYPE, dedup_mode=DEDUP_MODE,
                              knn_top=KNN_TOP if n_knn else 0,

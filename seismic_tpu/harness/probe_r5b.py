@@ -440,6 +440,10 @@ def main():
                                    pool_per_pair=0, dedup_mode="post",
                                    pool=48, rescore=32), 13,
                "exact_ddpost_p48r32")
+        run_b1(dataclasses.replace(gp_base, pool_mode="seg",
+                                   pool_seg_width=32, pool_dtype="bf16",
+                                   dedup_mode="post"), 13,
+               "seg32_pdt_ddpost")
 
     if "csub4" not in fams:
         log("wrote BENCH_STAGE_r5.json")
