@@ -344,15 +344,32 @@ def main():
 
     if "knn" in fams and knn_np is not None:
         # ---- knn_top economics (ask #5) ----
-        for qc, ktop in ((12, 0), (12, 4), (12, 2), (13, 4)):
+        # cheap knn_top rungs FIRST, the full-refine ktop=0 baseline LAST:
+        # its k*n_knn-row rescore temps OOMed the 16GB chip at B=16384
+        # (session-4 run), killing the whole family before any data
+        # landed. Per-rung try/except so one OOM costs one rung.
+        for qc, ktop in ((12, 4), (12, 2), (13, 4)):
             gp = dataclasses.replace(gp_base, n_knn=16, knn_top=ktop)
-            run(gp, qc, label=f"knn16top{ktop}_qc{qc}_p96r64")
+            try:
+                run(gp, qc, label=f"knn16top{ktop}_qc{qc}_p96r64")
+            except Exception as e:  # noqa: BLE001
+                log(f"knn16top{ktop}_qc{qc}: FAILED {type(e).__name__}")
         # cheap-base + cheap-refine headline candidates: can qc12 +
         # top2/top4 refine beat the plain qc13 rung at >= 0.97?
         for qc, ktop in ((12, 2), (12, 4)):
             gp = dataclasses.replace(gp_base, n_knn=16, knn_top=ktop,
                                      dedup_mode="post")
-            run(gp, qc, label=f"knn16top{ktop}_ddpost_qc{qc}_p96r64")
+            try:
+                run(gp, qc, label=f"knn16top{ktop}_ddpost_qc{qc}_p96r64")
+            except Exception as e:  # noqa: BLE001
+                log(f"knn16top{ktop}_ddpost_qc{qc}: FAILED "
+                    f"{type(e).__name__}")
+        for qc, ktop in ((12, 0),):
+            gp = dataclasses.replace(gp_base, n_knn=16, knn_top=ktop)
+            try:
+                run(gp, qc, label=f"knn16top{ktop}_qc{qc}_p96r64")
+            except Exception as e:  # noqa: BLE001
+                log(f"knn16top{ktop}_qc{qc}: FAILED {type(e).__name__}")
 
     # ---- two-pass adaptive at 100K (cheap pass 1 + deep pass 2 on the
     # flagged few %): can the adaptive driver beat the fixed headline? ----
